@@ -1,0 +1,82 @@
+"""Quantized matmul: XLA reference path + dispatch to Pallas kernels.
+
+The XLA path (`dequantize_weight` then `jnp.dot`) is the correctness oracle
+and CPU fallback; on TPU the fused Pallas kernel (ops/pallas/) reads packed
+weights directly from HBM.  This pair replaces the reference's
+``Quant3Linear.forward`` -> ``quant_cuda.vecquant3matmul`` call chain
+(gptq/quant.py:186-200).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quantize.qtensor import QuantizedTensor
+from .packing import unpack_codes
+
+
+def packed_bits(qt: QuantizedTensor) -> int:
+    b = qt.spec.storage_bits
+    return b if b in (2, 4, 8) else 8
+
+
+def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Packed artifact -> dense ``[K, N]`` weight (the XLA reference path)."""
+    codes = unpack_codes(qt.qweight, packed_bits(qt), qt.k)
+    k = qt.k
+    scales = qt.scales.astype(jnp.float32)
+    # broadcast per-group side info over K: [K/G, N] -> [K, N]
+    def expand(side):
+        if side.shape[0] == 1:
+            return side
+        g = k // side.shape[0]
+        return jnp.repeat(side, g, axis=0)
+
+    if qt.mode == "affine":
+        zeros = expand(qt.zeros.astype(jnp.float32)) if qt.zeros is not None else 0.0
+        w = (codes.astype(jnp.float32) - zeros) * expand(scales)
+    else:  # lut
+        w = qt.codebook[codes] * expand(scales)
+        if qt.zeros is not None:
+            w = w + expand(qt.zeros.astype(jnp.float32))
+    return w.astype(dtype)
+
+
+def quantized_matmul(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``y = x @ dequant(qt) (+ bias)`` with fused-kernel dispatch.
+
+    ``use_pallas=None`` auto-selects: the fused kernel runs on TPU for
+    supported layouts (int4/int8 affine, 4/8-bit LUT), XLA otherwise.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and _pallas_supported(qt)
+        )
+    if use_pallas:
+        from .pallas.dequant_matmul import fused_quantized_matmul
+
+        out = fused_quantized_matmul(x, qt)
+    else:
+        w = dequantize_weight(qt, dtype=accum_dtype)
+        out = jnp.dot(
+            x.astype(accum_dtype), w, preferred_element_type=accum_dtype
+        )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def _pallas_supported(qt: QuantizedTensor) -> bool:
+    from .pallas.dequant_matmul import kernel_supported
+
+    return kernel_supported(qt)

@@ -1,0 +1,62 @@
+"""The packed quantized-weight artifact.
+
+Where the reference stores a *dequantized fp16 copy* back into the model
+("fake quant", quant_linear.py:960-972 -- runtime memory and compute are
+unchanged), this framework's artifact keeps weights packed in HBM and
+dequantizes inside the matmul kernel.  One unified dequant rule covers all
+packed formats:
+
+  affine ("int", "bfp"):   w = (codes - zeros) * scales
+  lut    ("fp" minifloat): w = codebook[codes] * scales (+ zeros)
+
+Layouts (for an ``[K, N]`` kernel, ``y = x @ w``):
+  * ``qweight``: packed uint8 (see ops/packing.py split-K layout)
+  * ``scales``/``zeros``: ``[K/G, N]`` per-group, ``[1, N]`` per-channel,
+    ``[1, 1]`` per-tensor -- broadcast over K-groups
+  * ``codebook``: ``[2^bits]`` decode table (the TPU analogue of the CUDA
+    kernel's ``deq2`` shared-memory LUT, quant_cuda_kernel.cu:185-192)
+
+Only ``quant_axis=0`` (groups along the reduction dim) has a packed path --
+that is the serving-relevant layout.  Other axes / the double-approx and
+fp4_e1m2 schemes remain fake-quant-only, matching how the reference itself
+only ever serves fake-quantized weights.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import QuantSpec
+
+
+@struct.dataclass
+class QuantizedTensor:
+    qweight: jnp.ndarray
+    scales: jnp.ndarray
+    zeros: Optional[jnp.ndarray]
+    codebook: Optional[jnp.ndarray]
+    spec: QuantSpec = struct.field(pytree_node=False)
+    shape: Tuple[int, int] = struct.field(pytree_node=False)  # (K, N) logical
+    mode: str = struct.field(pytree_node=False)  # "affine" | "lut"
+
+    @property
+    def k(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.shape[1]
+
+    @property
+    def storage_bits(self) -> int:
+        return self.spec.storage_bits
+
+    def nbytes_packed(self) -> int:
+        total = self.qweight.size * self.qweight.dtype.itemsize
+        total += self.scales.size * self.scales.dtype.itemsize
+        if self.zeros is not None:
+            total += self.zeros.size * self.zeros.dtype.itemsize
+        return total

@@ -1,0 +1,88 @@
+"""Round-to-nearest quantization into packed artifacts.
+
+Produces a :class:`QuantizedTensor` whose dequantization is bit-identical to
+the fake-quant oracle ``formats.fake_quantize`` (and therefore to the
+reference ``QuantLinear``) -- verified by tests/test_qtensor.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import PER_CHANNEL, PER_TENSOR, QuantSpec
+from ..formats import make_groups, quantize_groups
+from ..formats.api import _align_kind
+from ..formats.minifloat import minifloat_codebook
+from ..ops.packing import pack_codes, signed_to_unsigned_offset
+from .qtensor import QuantizedTensor
+
+
+def _kernel_layout(per_group_col: jnp.ndarray, k: int, n: int, group_size: int) -> jnp.ndarray:
+    """Grouped side-info ``[n_groups, 1]`` -> kernel layout ``[K/G | 1, N] | [1, 1]``.
+
+    Grouped rows are ordered N-major (grouping transposes to ``[N, K]``
+    first), so row ``n * (K/G) + kg`` maps to kernel position ``[kg, n]``.
+    """
+    if group_size == PER_TENSOR:
+        return per_group_col.reshape(1, 1)
+    if group_size == PER_CHANNEL:
+        return per_group_col.reshape(1, n)  # one scale per output channel
+    kg = k // group_size
+    return per_group_col.reshape(n, kg).T
+
+
+def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
+    """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path)."""
+    if spec.quant_axis != 0:
+        raise NotImplementedError("packed artifacts require quant_axis=0")
+    if spec.fmt == "fp4_e1m2":
+        raise NotImplementedError("fp4_e1m2 is a fake-quant-only scheme")
+    if spec.fmt == "fp" and spec.approximate and spec.double_approximate \
+            and spec.float_format.exp_bits != 1:
+        raise NotImplementedError(
+            "double-approximate decode is group-contextual; packed path unsupported"
+        )
+
+    k, n = w.shape
+    groups = make_groups(w.astype(jnp.float32), spec.group_size, 0)
+    enc = quantize_groups(groups, spec)
+
+    def codes_to_kernel(codes: jnp.ndarray) -> jnp.ndarray:
+        # grouped codes -> [K, N] kernel orientation
+        return codes.reshape(n, k).T
+
+    if spec.fmt == "int":
+        codes = codes_to_kernel(enc.codes)
+        if spec.symmetric:
+            off = signed_to_unsigned_offset(spec.bits)
+            codes = codes + off
+            zeros = jnp.full((1, 1), float(off), jnp.float32)
+        else:
+            zeros = _kernel_layout(enc.zeros, k, n, spec.group_size)
+        scales = _kernel_layout(enc.scales, k, n, spec.group_size)
+        qweight = pack_codes(codes, spec.bits)
+        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
+
+    if spec.fmt == "bfp":
+        # signed mantissa magnitude <= 2^(b-1)-1, so +2^(b-1) fits in b bits
+        off = signed_to_unsigned_offset(spec.bits)
+        codes = codes_to_kernel(enc.codes) + off
+        target_mant_bits = min(spec.bits - 1, 11)
+        frac = target_mant_bits - 1
+        scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
+        scales = _kernel_layout(scales_g, k, n, spec.group_size)
+        zeros = jnp.full((1, 1), float(off), jnp.float32)
+        qweight = pack_codes(codes, spec.bits)
+        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
+
+    # minifloat: LUT mode
+    fmt = spec.float_format
+    align = spec.effective_align(_align_kind(fmt)) if spec.approximate else None
+    book = jnp.asarray(minifloat_codebook(fmt, align))
+    codes = codes_to_kernel(enc.codes)
+    scales = _kernel_layout(enc.scales, k, n, spec.group_size)
+    zeros = (
+        _kernel_layout(enc.zeros, k, n, spec.group_size) if enc.zeros is not None else None
+    )
+    qweight = pack_codes(codes, fmt.total_bits if fmt.total_bits in (2, 4, 8) else 8)
+    return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut")
