@@ -1,0 +1,165 @@
+"""Shared model building blocks (pure JAX, jit-friendly, static shapes)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qmatmul import quantized_matmul
+from ..quantize.qtensor import QuantizedTensor
+
+
+def linear(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    """Apply a linear layer whose weight is dense ``[K, N]`` or quantized.
+
+    This is the single seam where quantization enters the model -- the
+    functional counterpart of the reference's module surgery that swaps
+    ``nn.Linear`` for ``QuantLinear`` (quant_wrapper.py:52-80).
+    """
+    w, b = p["w"], p.get("b")
+    if isinstance(w, QuantizedTensor):
+        return quantized_matmul(x, w, bias=b)
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def rmsnorm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(dt)
+
+
+def layernorm(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
+
+
+# ------------------------------------------------------------------ RoPE
+
+def rope_tables(
+    positions: jnp.ndarray,
+    head_dim: int,
+    theta: float = 10000.0,
+    condense_ratio: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables ``[..., head_dim]`` (HF half-rotation convention).
+
+    ``condense_ratio > 1`` reproduces RoPE position interpolation
+    (the capability of reference utils.py:93-129 CondenseRotaryEmbedding):
+    positions are divided by the ratio before the frequency product.
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    t = positions.astype(jnp.float32) / condense_ratio
+    freqs = jnp.einsum("...s,d->...sd", t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, D]; cos/sin: [B, S, D] or [S, D]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(
+        x.dtype
+    )
+
+
+# ------------------------------------------------------------- attention
+
+class KVCacheView(NamedTuple):
+    """Per-layer cache slab: k/v ``[B, T_max, H_kv, D]`` + current length."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32
+
+
+def attend(
+    q: jnp.ndarray,  # [B, S, Hq, D]
+    k: jnp.ndarray,  # [B, T, Hkv, D]
+    v: jnp.ndarray,  # [B, T, Hkv, D]
+    mask: jnp.ndarray,  # [B, 1, S, T] or [1, 1, S, T] boolean (True = keep)
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,  # e.g. ALiBi [1|B, Hq, S|1, T]
+) -> jnp.ndarray:
+    """Softmax attention with GQA head expansion, fp32 accumulation."""
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        scores = scores + bias
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhst,bthd->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def causal_mask(s: int, t: Optional[int] = None, offset: int = 0) -> jnp.ndarray:
+    """Boolean mask [1, 1, S, T]; query i attends to keys <= i + offset."""
+    t = t if t is not None else s
+    rows = jnp.arange(s)[:, None]
+    cols = jnp.arange(t)[None, :]
+    return (cols <= rows + offset)[None, None]
+
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Standard ALiBi head slopes (BLOOM attention)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        slopes = pow2_slopes(n_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(n_heads))
+        slopes = pow2_slopes(closest)
+        extra = pow2_slopes(2 * closest)
+        slopes += extra[0::2][: n_heads - closest]
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
+def update_kv_cache(
+    cache: KVCacheView, k_new: jnp.ndarray, v_new: jnp.ndarray
+) -> KVCacheView:
+    """Write S new tokens at position ``cache.length`` (static S, dynamic start)."""
+    start = cache.length
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype), (0, start, 0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype), (0, start, 0, 0)
+    )
+    return KVCacheView(k, v, cache.length + k_new.shape[1])

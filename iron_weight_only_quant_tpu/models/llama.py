@@ -1,0 +1,172 @@
+"""LLaMA family in pure JAX (1/2/3-style: RMSNorm, RoPE, SwiGLU, GQA).
+
+Replaces the reference's use of HF ``LlamaForCausalLM`` (utils.py:12-45,
+gptq/llama.py).  Functional: ``params`` is a pytree whose linear weights may
+be dense ``[K, N]`` arrays or packed ``QuantizedTensor``s.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import (
+    KVCacheView,
+    apply_rope,
+    attend,
+    causal_mask,
+    linear,
+    rmsnorm,
+    rope_tables,
+    update_kv_cache,
+)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    # RoPE position interpolation, reference utils.py:93-129 capability
+    condense_ratio: float = 1.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def llama2_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llama2_70b() -> "LlamaConfig":
+        return LlamaConfig(
+            hidden_size=8192, intermediate_size=28672, num_layers=80,
+            num_heads=64, num_kv_heads=8, max_position_embeddings=4096,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 256) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2,
+            max_position_embeddings=128,
+        )
+
+
+def llama_init(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random init (for tests/benchmarks; real weights come from convert_hf)."""
+    h, inter, hd = cfg.hidden_size, cfg.intermediate_size, cfg.hd
+    qdim, kvdim = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
+
+    def dense(k, kin, kout):
+        return {"w": (jax.random.normal(k, (kin, kout), dtype) * (kin**-0.5)), "b": None}
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_norm": jnp.ones((h,), dtype),
+            "q": dense(next(keys), h, qdim),
+            "k": dense(next(keys), h, kvdim),
+            "v": dense(next(keys), h, kvdim),
+            "o": dense(next(keys), qdim, h),
+            "post_norm": jnp.ones((h,), dtype),
+            "gate": dense(next(keys), h, inter),
+            "up": dense(next(keys), h, inter),
+            "down": dense(next(keys), inter, h),
+        })
+    params = {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(next(keys), h, cfg.vocab_size)
+    return params
+
+
+def _block(
+    x: jnp.ndarray,
+    p: Dict[str, Any],
+    cfg: LlamaConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,
+    cache: Optional[KVCacheView],
+) -> Tuple[jnp.ndarray, Optional[KVCacheView]]:
+    b, s, h = x.shape
+    hd = cfg.hd
+
+    attn_in = rmsnorm(x, p["input_norm"], cfg.rms_norm_eps)
+    q = linear(attn_in, p["q"]).reshape(b, s, cfg.num_heads, hd)
+    k = linear(attn_in, p["k"]).reshape(b, s, cfg.num_kv_heads, hd)
+    v = linear(attn_in, p["v"]).reshape(b, s, cfg.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is not None:
+        cache = update_kv_cache(cache, k, v)
+        k, v = cache.k, cache.v
+    attn = attend(q, k, v, mask)
+    x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+
+    mlp_in = rmsnorm(x, p["post_norm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(linear(mlp_in, p["gate"]).astype(jnp.float32)).astype(x.dtype)
+    up = linear(mlp_in, p["up"])
+    x = x + linear(gate * up, p["down"])
+    return x, cache
+
+
+def llama_forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,  # [B, S] int32
+    cfg: LlamaConfig,
+    caches: Optional[List[KVCacheView]] = None,
+    positions: Optional[jnp.ndarray] = None,  # [B, S] or [S]
+) -> Tuple[jnp.ndarray, Optional[List[KVCacheView]]]:
+    """Full or incremental forward. Returns (logits [B, S, V], caches)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+
+    if caches is None:
+        if positions is None:
+            positions = jnp.arange(s)
+        mask = causal_mask(s)
+    else:
+        start = caches[0].length
+        if positions is None:
+            positions = start + jnp.arange(s)
+        t_max = caches[0].k.shape[1]
+        cols = jnp.arange(t_max)[None, :]
+        rows = positions.reshape(-1)[:, None] if positions.ndim == 1 else None
+        # query at absolute position p attends keys <= p
+        qpos = positions if positions.ndim == 1 else positions[0]
+        mask = (cols <= qpos[:, None])[None, None]
+
+    cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta, cfg.condense_ratio)
+
+    new_caches = [] if caches is not None else None
+    for i, p in enumerate(params["layers"]):
+        cache_i = caches[i] if caches is not None else None
+        x, cache_i = _block(x, p, cfg, cos, sin, mask, cache_i)
+        if new_caches is not None:
+            new_caches.append(cache_i)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    else:
+        logits = linear(x, params["lm_head"])
+    return logits, new_caches

@@ -1,0 +1,157 @@
+"""OPT family in pure JAX (pre-LN decoder, learned positions with offset 2).
+
+Replaces the reference's HF ``OPTForCausalLM`` usage (gptq/opt.py:11-21).
+Mirrors the HF quirks that matter for checkpoint parity: the positional
+embedding table is indexed at ``position + 2``, the lm_head is tied to the
+token embedding, and the ReLU FFN.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import (
+    KVCacheView,
+    attend,
+    causal_mask,
+    layernorm,
+    linear,
+    update_kv_cache,
+)
+
+POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset
+
+
+@dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 768
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_position_embeddings: int = 2048
+    do_layer_norm_before: bool = True
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def hd(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def opt_125m() -> "OPTConfig":
+        return OPTConfig()
+
+    @staticmethod
+    def opt_6_7b() -> "OPTConfig":
+        return OPTConfig(hidden_size=4096, ffn_dim=16384, num_layers=32, num_heads=32)
+
+    @staticmethod
+    def tiny(vocab_size: int = 256) -> "OPTConfig":
+        return OPTConfig(
+            vocab_size=vocab_size, hidden_size=64, ffn_dim=128,
+            num_layers=2, num_heads=4, max_position_embeddings=128,
+        )
+
+
+def opt_init(cfg: OPTConfig, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    h, f = cfg.hidden_size, cfg.ffn_dim
+    keys = iter(jax.random.split(key, 3 + cfg.num_layers * 6))
+
+    def dense(k, kin, kout):
+        return {
+            "w": jax.random.normal(k, (kin, kout), dtype) * (kin**-0.5),
+            "b": jnp.zeros((kout,), dtype),
+        }
+
+    def ln():
+        return {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "attn_norm": ln(),
+            "q": dense(next(keys), h, h),
+            "k": dense(next(keys), h, h),
+            "v": dense(next(keys), h, h),
+            "o": dense(next(keys), h, h),
+            "final_norm": ln(),
+            "fc1": dense(next(keys), h, f),
+            "fc2": dense(next(keys), f, h),
+        })
+    return {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
+        "embed_pos": jax.random.normal(
+            next(keys), (cfg.max_position_embeddings + POS_OFFSET, h), dtype
+        ) * 0.02,
+        "layers": layers,
+        "final_norm": ln(),
+    }
+
+
+def _block(x, p, cfg: OPTConfig, mask, cache):
+    b, s, h = x.shape
+    hd = cfg.hd
+    residual = x
+    if cfg.do_layer_norm_before:
+        x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"], cfg.layer_norm_eps)
+    q = linear(x, p["q"]).reshape(b, s, cfg.num_heads, hd)
+    k = linear(x, p["k"]).reshape(b, s, cfg.num_heads, hd)
+    v = linear(x, p["v"]).reshape(b, s, cfg.num_heads, hd)
+    if cache is not None:
+        cache = update_kv_cache(cache, k, v)
+        k, v = cache.k, cache.v
+    attn = attend(q, k, v, mask)
+    x = residual + linear(attn.reshape(b, s, h), p["o"])
+    if not cfg.do_layer_norm_before:
+        x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"], cfg.layer_norm_eps)
+
+    residual = x
+    if cfg.do_layer_norm_before:
+        x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"], cfg.layer_norm_eps)
+    x = jax.nn.relu(linear(x, p["fc1"]))
+    x = residual + linear(x, p["fc2"])
+    if not cfg.do_layer_norm_before:
+        x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"], cfg.layer_norm_eps)
+    return x, cache
+
+
+def opt_forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    cfg: OPTConfig,
+    caches: Optional[List[KVCacheView]] = None,
+    positions: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[List[KVCacheView]]]:
+    b, s = tokens.shape
+    if caches is None:
+        if positions is None:
+            positions = jnp.arange(s)
+        mask = causal_mask(s)
+    else:
+        start = caches[0].length
+        if positions is None:
+            positions = start + jnp.arange(s)
+        t_max = caches[0].k.shape[1]
+        cols = jnp.arange(t_max)[None, :]
+        qpos = positions if positions.ndim == 1 else positions[0]
+        mask = (cols <= qpos[:, None])[None, None]
+
+    x = params["embed"][tokens] + params["embed_pos"][positions + POS_OFFSET]
+
+    new_caches = [] if caches is not None else None
+    for i, p in enumerate(params["layers"]):
+        cache_i = caches[i] if caches is not None else None
+        x, cache_i = _block(x, p, cfg, mask, cache_i)
+        if new_caches is not None:
+            new_caches.append(cache_i)
+
+    if cfg.do_layer_norm_before and "final_norm" in params:
+        x = layernorm(
+            x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps
+        )
+    logits = jnp.dot(x, params["embed"].T.astype(x.dtype))  # tied lm_head
+    return logits, new_caches

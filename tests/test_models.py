@@ -1,0 +1,155 @@
+"""Model parity tests: our pure-JAX forwards vs HF transformers (tiny models).
+
+This is the framework analogue of the reference's implicit contract: its
+quantization wraps HF models, so PPL parity requires forward parity first.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from iron_weight_only_quant_tpu.models import (  # noqa: E402
+    bloom_forward,
+    llama_forward,
+    opt_forward,
+)
+from iron_weight_only_quant_tpu.models.common import KVCacheView  # noqa: E402
+from iron_weight_only_quant_tpu.models.convert_hf import from_hf_model  # noqa: E402
+
+
+def _logit_diff(ours, theirs):
+    ours = np.asarray(ours, dtype=np.float32)
+    theirs = theirs.detach().float().numpy()
+    return np.max(np.abs(ours - theirs))
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 250, size=(2, 24)).astype(np.int64)
+
+
+def _make_hf(cls, cfg):
+    torch.manual_seed(0)
+    model = cls(cfg)
+    model.eval()
+    return model
+
+
+class TestLlamaParity:
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+        return _make_hf(transformers.LlamaForCausalLM, cfg)
+
+    def test_logits_match(self, hf_model, tokens):
+        cfg, params, fwd = from_hf_model(hf_model)
+        with torch.no_grad():
+            ref = hf_model(torch.from_numpy(tokens)).logits
+        ours, _ = fwd(params, jnp.asarray(tokens), cfg)
+        assert _logit_diff(ours, ref) < 2e-4
+
+    def test_incremental_matches_full(self, hf_model, tokens):
+        """Decode with KV cache must equal the full forward (last positions)."""
+        cfg, params, fwd = from_hf_model(hf_model)
+        toks = jnp.asarray(tokens)
+        full, _ = fwd(params, toks, cfg)
+
+        b, s = toks.shape
+        t_max = 32
+        caches = [
+            KVCacheView(
+                jnp.zeros((b, t_max, cfg.num_kv_heads, cfg.hd), jnp.float32),
+                jnp.zeros((b, t_max, cfg.num_kv_heads, cfg.hd), jnp.float32),
+                jnp.asarray(0, jnp.int32),
+            )
+            for _ in range(cfg.num_layers)
+        ]
+        # prefill first s-4 tokens, then decode 4 tokens one by one
+        split = s - 4
+        logits_pre, caches = fwd(params, toks[:, :split], cfg, caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(logits_pre), np.asarray(full[:, :split]), atol=2e-4
+        )
+        for i in range(split, s):
+            step, caches = fwd(params, toks[:, i : i + 1], cfg, caches=caches)
+            np.testing.assert_allclose(
+                np.asarray(step[:, 0]), np.asarray(full[:, i]), atol=2e-4
+            )
+
+
+class TestOPTParity:
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        cfg = transformers.OPTConfig(
+            vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=128,
+            do_layer_norm_before=True,
+        )
+        return _make_hf(transformers.OPTForCausalLM, cfg)
+
+    def test_logits_match(self, hf_model, tokens):
+        cfg, params, fwd = from_hf_model(hf_model)
+        with torch.no_grad():
+            ref = hf_model(torch.from_numpy(tokens)).logits
+        ours, _ = fwd(params, jnp.asarray(tokens), cfg)
+        assert _logit_diff(ours, ref) < 2e-4
+
+    def test_post_ln_variant(self, tokens):
+        cfg = transformers.OPTConfig(
+            vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=128,
+            do_layer_norm_before=False,
+        )
+        hf = _make_hf(transformers.OPTForCausalLM, cfg)
+        cfg_j, params, fwd = from_hf_model(hf)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(tokens)).logits
+        ours, _ = fwd(params, jnp.asarray(tokens), cfg_j)
+        assert _logit_diff(ours, ref) < 2e-4
+
+
+class TestBloomParity:
+    def test_logits_match(self, tokens):
+        cfg = transformers.BloomConfig(
+            vocab_size=256, hidden_size=64, n_layer=2, n_head=4,
+        )
+        hf = _make_hf(transformers.BloomForCausalLM, cfg)
+        cfg_j, params, fwd = from_hf_model(hf)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(tokens)).logits
+        ours, _ = fwd(params, jnp.asarray(tokens), cfg_j)
+        assert _logit_diff(ours, ref) < 2e-4
+
+
+class TestQuantizedModel:
+    def test_quantized_llama_runs(self, tokens):
+        """Module-surgery equivalent: quantize every linear in the pytree."""
+        from iron_weight_only_quant_tpu.config import QuantSpec
+        from iron_weight_only_quant_tpu.models import LlamaConfig, llama_init
+        from iron_weight_only_quant_tpu.quantize.model_pass import (
+            quantize_model_params,
+        )
+
+        cfg = LlamaConfig.tiny()
+        params = llama_init(cfg, jax.random.PRNGKey(0))
+        spec = QuantSpec(fmt="int", bits=4, group_size=32, symmetric=False)
+        qparams, report = quantize_model_params(params, spec)
+        assert report["n_quantized"] == 2 * 7  # 7 linears per layer
+        logits_q, _ = llama_forward(qparams, jnp.asarray(tokens), cfg)
+        logits_f, _ = llama_forward(params, jnp.asarray(tokens), cfg)
+        # int4 fake-quant noise is bounded; logits stay correlated
+        a = np.asarray(logits_q).ravel()
+        b = np.asarray(logits_f).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        # tiny random models are far more noise-sensitive than trained ones
+        assert corr > 0.95
