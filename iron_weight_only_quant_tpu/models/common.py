@@ -11,6 +11,32 @@ from ..ops.qmatmul import quantized_matmul
 from ..quantize.qtensor import QuantizedTensor
 
 
+_LINEAR_RECORDER = None  # set by recording_linears(); calibration-time hook
+
+
+class recording_linears:
+    """Context manager: invoke ``cb(name, x)`` for every named linear call.
+
+    The functional analogue of the reference's forward hooks during GPTQ
+    calibration (gptq_utils.py:153-160).  Only linear params dicts carrying a
+    ``"name"`` key are recorded (see quantize.model_pass.annotate_linears).
+    """
+
+    def __init__(self, cb):
+        self.cb = cb
+
+    def __enter__(self):
+        global _LINEAR_RECORDER
+        self._prev = _LINEAR_RECORDER
+        _LINEAR_RECORDER = self.cb
+        return self
+
+    def __exit__(self, *exc):
+        global _LINEAR_RECORDER
+        _LINEAR_RECORDER = self._prev
+        return False
+
+
 def linear(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     """Apply a linear layer whose weight is dense ``[K, N]`` or quantized.
 
@@ -18,6 +44,8 @@ def linear(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     functional counterpart of the reference's module surgery that swaps
     ``nn.Linear`` for ``QuantLinear`` (quant_wrapper.py:52-80).
     """
+    if _LINEAR_RECORDER is not None and "name" in p:
+        _LINEAR_RECORDER(p["name"], x)
     w, b = p["w"], p.get("b")
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, bias=b)

@@ -1,0 +1,228 @@
+"""GPTQ solver in JAX (C11/C12 capability, re-designed for XLA).
+
+Second-order post-training quantization: per-column quantize with Hessian-
+based error propagation (the IST-DASLab algorithm the reference vendors in
+gptq/gptq.py).  This implementation is built for XLA:
+
+  * the column-sequential inner loop is a ``lax.fori_loop`` over a carried
+    weight block (SURVEY.md §7 hard-part 2) -- no Python-loop trace blowup;
+  * blocks are processed in a Python loop (statically unrolled, ~K/128
+    iterations) with one dense matmul of cross-block error propagation each;
+  * the whole solve jits once per (shape, config) and is reused across
+    layers.
+
+Behavioral contract vs the reference (validated by tests/golden/gptq.npz):
+dead-column handling, damped Cholesky inverse, per-channel min/max grid
+(sym mirrors range, maxq = 2^bits - 1, zero = (maxq+1)/2 for sym),
+per-group scale refresh at group boundaries reading the *pre-block* weight
+state, act-order permutation by descending diag(H), static groups.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GPTQResult(NamedTuple):
+    q: jnp.ndarray        # dequantized weights [rows, cols] f32
+    codes: jnp.ndarray    # integer codes [rows, cols] int32, in [0, maxq]
+    scales: jnp.ndarray   # [rows, n_groups] f32
+    zeros: jnp.ndarray    # [rows, n_groups] f32
+    perm: Optional[jnp.ndarray]  # column permutation used (act_order) or None
+
+
+def hessian_update(h: jnp.ndarray, n: jnp.ndarray, x: jnp.ndarray):
+    """One add_batch step: running-mean Hessian ``H = (2/n) sum x x^T``.
+
+    x: [tokens, cols].  Mirrors the reference recurrence (gptq/gptq.py:53-58)
+    so rounding behavior matches sample-for-sample.
+    """
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    h = h * (n / (n + 1.0))
+    xs = jnp.sqrt(2.0 / (n + 1.0)) * x
+    return h + xs.T @ xs, n + 1.0
+
+
+def _find_params(
+    w: jnp.ndarray, bits: int, sym: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row min/max grid params; w: [rows, width] -> (scale, zero) [rows]."""
+    maxq = float(2**bits - 1)
+    xmin = jnp.minimum(jnp.min(w, axis=1), 0.0)
+    xmax = jnp.maximum(jnp.max(w, axis=1), 0.0)
+    if sym:
+        xmax = jnp.maximum(jnp.abs(xmin), xmax)
+        xmin = jnp.where(xmin < 0, -xmax, xmin)
+    degenerate = (xmin == 0) & (xmax == 0)
+    xmin = jnp.where(degenerate, -1.0, xmin)
+    xmax = jnp.where(degenerate, 1.0, xmax)
+    scale = (xmax - xmin) / maxq
+    if sym:
+        zero = jnp.full_like(scale, (maxq + 1) / 2)
+    else:
+        zero = jnp.round(-xmin / scale)
+    return scale, zero
+
+
+def _quantize_col(w, scale, zero, maxq):
+    q = jnp.clip(jnp.round(w / scale) + zero, 0, maxq)
+    return scale * (q - zero), q
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "sym", "groupsize", "blocksize", "actorder",
+                     "static_groups", "percdamp"),
+)
+def gptq_quantize(
+    w: jnp.ndarray,  # [rows, cols] f32 -- note [out, in] orientation
+    h: jnp.ndarray,  # [cols, cols] f32 accumulated Hessian
+    *,
+    bits: int = 4,
+    sym: bool = False,
+    groupsize: int = -1,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    actorder: bool = False,
+    static_groups: bool = False,
+) -> GPTQResult:
+    rows, cols = w.shape
+    maxq = float(2**bits - 1)
+    w = w.astype(jnp.float32)
+    h = h.astype(jnp.float32)
+
+    # dead columns: unit diagonal, zeroed weights
+    dead = jnp.diag(h) == 0
+    h = h + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    w = jnp.where(dead[None, :], 0.0, w)
+
+    gsize = cols if groupsize == -1 else groupsize
+    n_groups = (cols + gsize - 1) // gsize
+
+    # static groups: scales fixed from the original (pre-update) weights
+    if static_groups:
+        sg_scales, sg_zeros = [], []
+        for g in range(n_groups):
+            s, z = _find_params(w[:, g * gsize : (g + 1) * gsize], bits, sym)
+            sg_scales.append(s)
+            sg_zeros.append(z)
+        sg_scales = jnp.stack(sg_scales, axis=1)  # [rows, n_groups]
+        sg_zeros = jnp.stack(sg_zeros, axis=1)
+
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(h))
+        w = w[:, perm]
+        h = h[perm][:, perm]
+        invperm = jnp.argsort(perm)
+    else:
+        perm = None
+
+    # damped Cholesky inverse, upper factor (rows i of U give the update
+    # coefficients Hinv[i, i:])
+    damp = percdamp * jnp.mean(jnp.diag(h))
+    h = h + damp * jnp.eye(cols)
+    chol = jax.scipy.linalg.cho_factor(h, lower=True)
+    hinv_full = jax.scipy.linalg.cho_solve(chol, jnp.eye(cols))
+    hinv = jnp.linalg.cholesky(hinv_full).T  # upper: Hinv = U^T U
+
+    if groupsize == -1 and not static_groups:
+        init_scale, init_zero = _find_params(w, bits, sym)
+    else:
+        init_scale = jnp.zeros((rows,))
+        init_zero = jnp.zeros((rows,))
+
+    q_out = jnp.zeros_like(w)
+    codes_out = jnp.zeros_like(w)
+    scales_out = jnp.zeros((rows, n_groups))
+    zeros_out = jnp.zeros((rows, n_groups))
+    if static_groups:
+        scales_out, zeros_out = sg_scales, sg_zeros
+
+    col_idx = jnp.arange(cols)
+
+    for i1 in range(0, cols, blocksize):
+        i2 = min(i1 + blocksize, cols)
+        count = i2 - i1
+        w1 = w[:, i1:i2]
+        hinv1 = hinv[i1:i2, i1:i2]
+        in_block = jnp.arange(count)
+
+        def body(i, carry):
+            w1, q1, c1, err1, scale, zero, s_out, z_out = carry
+            # group-boundary scale refresh (reads the pre-block weight state,
+            # exactly like the reference's find_params on the outer W)
+            if groupsize != -1 and not static_groups:
+                gcol = i1 + i
+
+                def refresh(_):
+                    start = gcol  # gcol is a multiple of gsize at refresh
+                    sl = jax.lax.dynamic_slice(w, (0, start), (rows, gsize))
+                    return _find_params(sl, bits, sym)
+
+                is_boundary = (gcol % gsize) == 0
+                scale, zero = jax.lax.cond(
+                    is_boundary, refresh, lambda _: (scale, zero), None
+                )
+                g = gcol // gsize
+                s_out = jax.lax.cond(
+                    is_boundary,
+                    lambda so: jax.lax.dynamic_update_slice(so, scale[:, None], (0, g)),
+                    lambda so: so,
+                    s_out,
+                )
+                z_out = jax.lax.cond(
+                    is_boundary,
+                    lambda zo: jax.lax.dynamic_update_slice(zo, zero[:, None], (0, g)),
+                    lambda zo: zo,
+                    z_out,
+                )
+            elif static_groups:
+                g = (i1 + i) // gsize
+                if actorder:
+                    g = jax.lax.dynamic_index_in_dim(perm, i1 + i, keepdims=False) // gsize
+                scale = jax.lax.dynamic_slice(sg_scales, (0, g), (rows, 1))[:, 0]
+                zero = jax.lax.dynamic_slice(sg_zeros, (0, g), (rows, 1))[:, 0]
+
+            wcol = jax.lax.dynamic_slice(w1, (0, i), (rows, 1))[:, 0]
+            d = jax.lax.dynamic_index_in_dim(
+                jnp.diag(hinv1), i, keepdims=False
+            )
+            qcol, code = _quantize_col(wcol, scale, zero, maxq)
+            err = (wcol - qcol) / d
+            hrow = jax.lax.dynamic_slice(hinv1, (i, 0), (1, count))[0]
+            upd = err[:, None] * (hrow[None, :] * (in_block >= i)[None, :])
+            w1 = w1 - upd
+            q1 = jax.lax.dynamic_update_slice(q1, qcol[:, None], (0, i))
+            c1 = jax.lax.dynamic_update_slice(c1, code[:, None], (0, i))
+            err1 = jax.lax.dynamic_update_slice(err1, err[:, None], (0, i))
+            return w1, q1, c1, err1, scale, zero, s_out, z_out
+
+        q1 = jnp.zeros_like(w1)
+        c1 = jnp.zeros_like(w1)
+        err1 = jnp.zeros_like(w1)
+        w1, q1, c1, err1, init_scale, init_zero, scales_out, zeros_out = (
+            jax.lax.fori_loop(
+                0, count, body,
+                (w1, q1, c1, err1, init_scale, init_zero, scales_out, zeros_out),
+            )
+        )
+        q_out = q_out.at[:, i1:i2].set(q1)
+        codes_out = codes_out.at[:, i1:i2].set(c1)
+        # cross-block propagation
+        w = w.at[:, i2:].add(-(err1 @ hinv[i1:i2, i2:]))
+
+    if groupsize == -1 and not static_groups:
+        scales_out = init_scale[:, None]
+        zeros_out = init_zero[:, None]
+
+    if actorder:
+        q_out = q_out[:, invperm]
+        codes_out = codes_out[:, invperm]
+
+    return GPTQResult(
+        q_out, codes_out.astype(jnp.int32), scales_out, zeros_out, perm
+    )
