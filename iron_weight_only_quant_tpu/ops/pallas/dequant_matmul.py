@@ -1,19 +1,266 @@
-"""Fused dequant-matmul Pallas kernel (TPU equivalent of
-gptq/quant_cuda_kernel.cu).
+"""Fused dequant-matmul Pallas TPU kernel.
 
-Placeholder dispatch surface for now: `kernel_supported` gates the fast path
-and the XLA fallback in ops/qmatmul.py stays authoritative until the kernel
-lands (build-plan stage 7 in SURVEY.md).
+The TPU-native counterpart of the reference's one native component, the
+3-bit CUDA mat-vec (gptq/quant_cuda.cpp + quant_cuda_kernel.cu, SURVEY.md
+C13/C14): packed sub-byte weights stay in HBM, tiles are DMA'd to VMEM,
+nibbles are unpacked and dequantized on the VPU, and the MXU consumes the
+dequantized tile immediately -- weights never materialize in HBM at full
+precision.  For bandwidth-bound decode this is the entire speedup: an int4
+weight stream is 1/4 the bytes of bf16.
+
+Layout contract (see ops/packing.py):
+  * int4 qweight ``[K/2, N]`` uint8 -- low nibble = K-half 0, high = K-half 1.
+    The kernel therefore computes ``x[:, :K/2] @ W_lo + x[:, K/2:] @ W_hi``
+    with two MXU contractions per tile and *no lane interleaving* (the TPU
+    analogue of the CUDA kernel's in-register bit shuffling).
+  * int8 qweight ``[K, N]`` uint8, single contraction.
+  * scales/zeros normalized by the wrapper to ``[K/G_eff, N]`` f32 and passed
+    as full-K-rows blocks (N-tiled); the kernel slices the group rows for
+    the current K-tile dynamically (Mosaic requires >=8 or full sublane
+    blocks, so per-tile scale blocks are not expressible as BlockSpecs).
+
+Grid: ``(M/TM, N/TN, K_packed/TK)``, K innermost ("arbitrary" semantics) with
+a float32 VMEM accumulator; dequant runs in the same program as the dot, so
+Mosaic overlaps the next tile's DMA with compute (automatic double buffering
+for blocked pallas_call operands).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ...quantize.qtensor import QuantizedTensor
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_tn(n: int) -> Optional[int]:
+    for tn in (512, 256, 128):
+        if n % tn == 0:
+            return tn
+    return None
+
+
+def _pick_tm(m: int) -> int:
+    for tm in (16, 32, 64, 128):
+        if m <= tm:
+            return tm
+    return 256
+
+
+def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
+                 mult: float = 1.0):
+    """Accumulate one K-slab's contribution with scales in the epilogue.
+
+    The dequant product is refactored so the MXU consumes *raw codes* and
+    all affine correction happens per group on the [TM, TN] output tile:
+
+        sum_k x[m,k] (q[k,n] - z[g,n]) s[g,n]
+          = sum_groups s[g,n] * (x_g @ q_g)[m,n] - (sum_k x_g[m,k]) z[g,n] s[g,n]
+
+    Per weight element only the int->bf16 cast remains (VPU); the per-element
+    subtract/multiply of naive dequant made the kernel VPU-bound and slower
+    than dense bf16.
+
+    ``mult`` rescales codes that arrive pre-multiplied (the high nibble is
+    extracted as ``qw & 0xF0 = 16*hi`` because Mosaic has no i8 vector
+    shift; the /16 folds into the group scale for free).
+    """
+    for r in range(rs):
+        qg = codes[r * g : (r + 1) * g, :].astype(dtype)
+        xg = x[:, r * g : (r + 1) * g]
+        part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        s = s_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
+        z = z_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + part * (s * mult) - xsum * (s * z)
+    return acc
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                 *, rs: int, nk: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kk = pl.program_id(2)
+    # stay in 8-bit lanes: u8 bit-ops then i8/i16 -> bf16 (Mosaic has no
+    # direct u8->float cast; widening through i32 was the VPU bottleneck,
+    # and i8 vector right-shift is unsupported -- hence the &0xF0 trick)
+    qw = qw_ref[:]
+    lo = (qw & 0xF).astype(jnp.int8)
+    hi16 = (qw & 0xF0).astype(jnp.int16)  # = 16 * hi, /16 folded into scale
+    g = qw.shape[0] // rs
+    dtype = x_lo_ref.dtype
+
+    acc = acc_ref[:]
+    acc = _group_accum(acc, x_lo_ref[:], lo, s_ref, z_ref, kk * rs, rs, g, dtype)
+    acc = _group_accum(acc, x_hi_ref[:], hi16, s_ref, z_ref, (nk + kk) * rs, rs, g,
+                       dtype, mult=1.0 / 16.0)
+    acc_ref[:] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                 *, rs: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kk = pl.program_id(2)
+    # widen u8 codes only to i16 (Mosaic casts u8->i16->bf16 natively;
+    # i32 widening was the VPU bottleneck)
+    codes = qw_ref[:].astype(jnp.int16)
+    g = qw_ref.shape[0] // rs
+    acc_ref[:] = _group_accum(
+        acc_ref[:], x_ref[:], codes, s_ref, z_ref, kk * rs, rs, g, x_ref.dtype
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def kernel_supported(qt: QuantizedTensor) -> bool:
-    return False
+    if qt.mode != "affine" or qt.spec.fmt not in ("int", "bfp"):
+        return False
+    bits = qt.spec.storage_bits
+    if bits not in (4, 8):
+        return False
+    k, n = qt.shape
+    if _pick_tn(n) is None:
+        return False
+    kp = k // 2 if bits == 4 else k
+    if kp % 128 != 0:
+        return False
+    rows = qt.scales.shape[0]
+    if rows > 1:
+        g = k // rows
+        if g < 32:
+            return False
+        if g <= kp:
+            if kp % g != 0:
+                return False
+        elif g % kp != 0:
+            return False
+    return True
 
 
-def fused_quantized_matmul(x, qt: QuantizedTensor):
-    raise NotImplementedError("Pallas fused dequant-matmul not yet implemented")
+def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int) -> jnp.ndarray:
+    """scales/zeros of any stored granularity -> [K/g_target, N] f32."""
+    rows = k // g_target
+    side = side.astype(jnp.float32)
+    if side.shape == (rows, n):
+        return side
+    if side.shape[0] == 1:
+        return jnp.broadcast_to(side, (rows, n))
+    g_have = k // side.shape[0]
+    if g_have % g_target == 0:
+        return jnp.repeat(side, g_have // g_target, axis=0)
+    raise ValueError(f"incompatible group layout {side.shape} for K={k}")
+
+
+def _plan_k(kp: int, rows: int, k: int):
+    """Choose packed-K tile size and per-tile scale-row count."""
+    if rows > 1:
+        g = k // rows
+        tpk = g if g >= 128 else 128
+        tpk = min(tpk, kp)
+    else:
+        tpk = min(256, kp)
+    while kp % tpk != 0:
+        tpk //= 2
+    if rows > 1:
+        g = k // rows
+        rs = max(1, tpk // g)
+    else:
+        rs = 1
+    g_target = tpk // rs
+    return tpk, rs, g_target
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_quantized_matmul(
+    x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False
+) -> jnp.ndarray:
+    """``y = x @ dequant(qt)``; x: [..., K]."""
+    bits = qt.spec.storage_bits
+    k, n = qt.shape
+    orig_shape = x.shape
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    tn = _pick_tn(n)
+    tm = _pick_tm(m)
+    m_pad = _ceil_to(m, tm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    out_dtype = x.dtype
+
+    rows = qt.scales.shape[0]
+    kp = k // 2 if bits == 4 else k
+    tpk, rs, g_target = _plan_k(kp, rows, k)
+    nk = kp // tpk
+    scales = _normalize_side(qt.scales, k, n, g_target)
+    zeros = _normalize_side(qt.zeros, k, n, g_target)
+    srows = scales.shape[0]
+
+    grid = (m_pad // tm, n // tn, nk)
+    common = dict(
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=kp * n + m_pad * k * 2 + m_pad * n * 2 + srows * n * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
+
+    if bits == 4:
+        kernel = functools.partial(_int4_kernel, rs=rs, nk=nk, out_dtype=out_dtype)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk)),
+                pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
+                side_spec,
+                side_spec,
+            ],
+            **common,
+        )(x2, x2, qt.qweight, scales, zeros)
+    else:
+        kernel = functools.partial(_int8_kernel, rs=rs, out_dtype=out_dtype)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
+                side_spec,
+                side_spec,
+            ],
+            **common,
+        )(x2, qt.qweight, scales, zeros)
+
+    if m_pad != m:
+        out = out[:m]
+    return out.reshape(orig_shape[:-1] + (n,))
