@@ -1,0 +1,267 @@
+"""Inference engine: jitted prefill/decode, sampling, continuous batching.
+
+Replaces the reference's ad-hoc benchmark loop (gptq/opt.py:308-354
+token-by-token decode with HF past_key_values) with a real engine:
+
+  * left-padded batched prefill (one jitted program), so every row's last
+    position aligns and the KV timeline is uniform;
+  * jitted single-token decode steps with donated caches;
+  * greedy / temperature / top-k sampling;
+  * Orca-style token-level continuous batching: finished slots are re-filled
+    from a request queue and stream their prompt tokens through the same
+    [B, 1] decode program (no separate per-request prefill compilation);
+  * optional (data, model) mesh: params are placed with tensor-parallel
+    NamedShardings and GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..parallel import apply_sharding, make_mesh, param_specs
+from .kvcache import cache_max_len, make_caches
+
+
+def sample_tokens(logits: jnp.ndarray, rng, temperature: float, top_k: int = 0):
+    """logits [B, V] -> tokens [B]."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        thresh = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("forward", "cfg"))
+def _prefill(params, tokens, positions, mask, caches, forward, cfg):
+    logits, caches = forward(
+        params, tokens, cfg, caches=caches, positions=positions, attn_mask=mask
+    )
+    return logits[:, -1], caches
+
+
+@partial(jax.jit, static_argnames=("forward", "cfg", "temperature", "top_k"),
+         donate_argnames=("caches",))
+def _decode_step(params, tok, positions, mask, caches, rng, forward, cfg,
+                 temperature, top_k):
+    logits, caches = forward(
+        params, tok, cfg, caches=caches, positions=positions, attn_mask=mask
+    )
+    nxt = sample_tokens(logits[:, -1], rng, temperature, top_k)
+    return nxt, caches
+
+
+class InferenceEngine:
+    """Batch generation over a (possibly quantized, possibly sharded) model."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg,
+        forward: Callable,
+        family: Optional[str] = None,
+        engine_cfg: EngineConfig = EngineConfig(),
+        eos_token: int = -1,
+        pad_token: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.forward = forward
+        self.engine_cfg = engine_cfg
+        self.eos_token = eos_token
+        self.pad_token = pad_token
+        self.dtype = dtype
+        self.mesh = None
+        if engine_cfg.mesh.ndevices > 1:
+            if family is None:
+                raise ValueError("family required for sharded engines")
+            self.mesh = make_mesh(engine_cfg.mesh)
+            specs = param_specs(family, params)
+            self.params = apply_sharding(params, specs, self.mesh)
+        else:
+            self.params = params
+
+    # ----------------------------------------------------------- internals
+
+    def _n_kv_heads(self):
+        return getattr(self.cfg, "num_kv_heads", getattr(self.cfg, "num_heads"))
+
+    def _fresh_caches(self, batch: int):
+        return make_caches(
+            len(self.params["layers"]) if "layers" in self.params else self.cfg.num_layers,
+            batch, self._n_kv_heads(), self.cfg.hd, self.engine_cfg.kv, self.dtype,
+        )
+
+    @staticmethod
+    def _left_pad(prompts: Sequence[Sequence[int]], pad_token: int):
+        lens = np.array([len(p) for p in prompts])
+        L = int(lens.max())
+        toks = np.full((len(prompts), L), pad_token, np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, L - len(p):] = np.asarray(p, np.int32)
+        pads = L - lens
+        return toks, pads, L
+
+    # ------------------------------------------------------------ generate
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Generate continuations; returns newly generated tokens per prompt."""
+        if any(len(p) == 0 for p in prompts):
+            raise ValueError("empty prompts are not allowed")
+        b = len(prompts)
+        toks, pads, L = self._left_pad(prompts, self.pad_token)
+        caches = self._fresh_caches(b)
+        t_max = cache_max_len(caches[0])
+        if L + max_new_tokens > t_max:
+            raise ValueError(
+                f"prompt ({L}) + max_new ({max_new_tokens}) exceeds "
+                f"kv.max_seq_len ({t_max})"
+            )
+
+        pads_j = jnp.asarray(pads, jnp.int32)
+        # positions: 0 for pads (masked anyway), j - pad for real tokens
+        positions = jnp.clip(jnp.arange(L)[None, :] - pads_j[:, None], 0, None)
+        cols = jnp.arange(t_max)
+        prefill_mask = (
+            (cols[None, None, None, :] <= jnp.arange(L)[None, None, :, None])
+            & (cols[None, None, None, :] >= pads_j[:, None, None, None])
+        )
+        logits, caches = _prefill(
+            self.params, jnp.asarray(toks), positions, prefill_mask, caches,
+            self.forward, self.cfg,
+        )
+
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        next_tok = sample_tokens(logits, sub, temperature, top_k)
+
+        out = [[int(next_tok[i])] for i in range(b)]
+        done = np.array([out[i][0] == self.eos_token for i in range(b)])
+        cur = L
+        for _ in range(max_new_tokens - 1):
+            if done.all():
+                break
+            positions = (cur - pads_j)[:, None]
+            mask = (
+                (cols[None, None, None, :] <= cur)
+                & (cols[None, None, None, :] >= pads_j[:, None, None, None])
+            )
+            rng, sub = jax.random.split(rng)
+            next_tok, caches = _decode_step(
+                self.params, next_tok[:, None], positions, mask, caches, sub,
+                self.forward, self.cfg, temperature, top_k,
+            )
+            cur += 1
+            toks_np = np.asarray(next_tok)
+            for i in range(b):
+                if not done[i]:
+                    out[i].append(int(toks_np[i]))
+                    if toks_np[i] == self.eos_token:
+                        done[i] = True
+        return out
+
+    # ------------------------------------------- continuous batching (Orca)
+
+    def serve(
+        self,
+        requests: Sequence[Sequence[int]],
+        max_new_tokens: int = 32,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Token-level continuous batching over a request queue.
+
+        Every step runs one [B, 1] decode program.  Idle slots admit the next
+        queued request and stream its prompt tokens through the same program
+        (their logits are ignored until the prompt is exhausted).  The KV
+        timeline per slot starts at the slot's admission step; masks keep
+        slots independent.
+        """
+        if any(len(r) == 0 for r in requests):
+            raise ValueError("empty prompts are not allowed")
+        nslots = min(self.engine_cfg.max_batch_size, max(1, len(requests)))
+        caches = self._fresh_caches(nslots)
+        t_max = cache_max_len(caches[0])
+
+        queue = list(range(len(requests)))
+        results: Dict[int, List[int]] = {}
+        # per-slot state
+        slot_req = [-1] * nslots          # request id
+        slot_start = np.zeros(nslots, np.int64)   # cache col where slot began
+        slot_fed = np.zeros(nslots, np.int64)     # prompt tokens fed
+        slot_gen = np.zeros(nslots, np.int64)     # tokens generated
+        pending_tok = np.zeros(nslots, np.int64)  # next token to feed
+
+        rng = jax.random.PRNGKey(seed)
+        cur = 0  # global cache column (shared timeline)
+
+        def admit(s):
+            if not queue:
+                slot_req[s] = -1
+                return
+            rid = queue.pop(0)
+            slot_req[s] = rid
+            slot_start[s] = cur
+            slot_fed[s] = 0
+            slot_gen[s] = 0
+            results[rid] = []
+            pending_tok[s] = requests[rid][0]
+
+        for s in range(nslots):
+            admit(s)
+
+        cols = jnp.arange(t_max)
+        while any(r >= 0 for r in slot_req):
+            if cur >= t_max:
+                raise RuntimeError("KV cache exhausted; raise kv.max_seq_len")
+            toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
+            starts = jnp.asarray(slot_start, jnp.int32)
+            # one token per slot per step -> this token's position is simply
+            # the number of steps since the slot was admitted
+            positions = (jnp.asarray(cur, jnp.int32) - starts)[:, None]
+            mask = (
+                (cols[None, None, None, :] <= cur)
+                & (cols[None, None, None, :] >= starts[:, None, None, None])
+            )
+            rng, sub = jax.random.split(rng)
+            next_tok, caches = _decode_step(
+                self.params, toks, positions, mask, caches, sub,
+                self.forward, self.cfg, temperature, top_k,
+            )
+            cur += 1
+            sampled = np.asarray(next_tok)
+            for s in range(nslots):
+                rid = slot_req[s]
+                if rid < 0:
+                    continue
+                prompt = requests[rid]
+                slot_fed[s] += 1 if slot_fed[s] < len(prompt) else 0
+                if slot_fed[s] < len(prompt):
+                    # still streaming the prompt; ignore the sampled token
+                    pending_tok[s] = prompt[slot_fed[s]]
+                    continue
+                # prompt done: the sampled token is real output
+                tok = int(sampled[s])
+                results[rid].append(tok)
+                slot_gen[s] += 1
+                if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
+                    admit(s)
+                else:
+                    pending_tok[s] = tok
+        return [results[i] for i in range(len(requests))]

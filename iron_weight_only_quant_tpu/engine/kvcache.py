@@ -1,0 +1,147 @@
+"""KV caches: dense bf16/f32 and real quantized int8/int4 storage.
+
+The reference *declares* KV quantization (``kv_bit``/``kv_group_size``
+injected into the HF config, utils.py:31-33) but never consumes it; here it
+is implemented for real: new K/V tokens are encoded to integer codes with
+per-(token, head, group) affine params on write and dequantized on read.
+The quantization scheme is the C1 ``pseudo_quantize_tensor`` semantics
+(asymmetric min/max over groups of the head dim).
+
+int8 halves KV memory vs bf16; int4 codes currently occupy one byte each
+(nibble-packing the cache is a planned optimization) but exercise the same
+numerics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import KVCacheConfig
+from ..formats.int_codec import decode_int, encode_int
+from ..models.common import KVCacheView
+
+
+@struct.dataclass
+class QuantKVCacheView:
+    """Quantized per-layer cache: codes + per-group affine params.
+
+    Shapes: codes ``[B, T, H, D]`` int8; scales/zeros ``[B, T, H, D/g]`` f32.
+    ``bits``/``group`` are static (jit-time) metadata.
+    """
+
+    k_codes: jnp.ndarray
+    k_scales: jnp.ndarray
+    k_zeros: jnp.ndarray
+    v_codes: jnp.ndarray
+    v_scales: jnp.ndarray
+    v_zeros: jnp.ndarray
+    length: jnp.ndarray
+    bits: int = struct.field(pytree_node=False)
+    group: int = struct.field(pytree_node=False)
+
+
+CacheView = Union[KVCacheView, QuantKVCacheView]
+
+
+def _encode(x: jnp.ndarray, bits: int, group: int):
+    """[B, S, H, D] -> codes i8, scales/zeros [B, S, H, D/g]."""
+    b, s, h, d = x.shape
+    g = min(group, d)
+    rows = x.astype(jnp.float32).reshape(-1, g)
+    codes, scales, zeros = encode_int(rows, bits, symmetric=False)
+    # asym codes span [0, 2^bits - 1]; shift by -2^(bits-1) to fit int8
+    # (the (code - zero) difference is invariant to a common shift)
+    off = 1 << (bits - 1)
+    return (
+        (codes - off).astype(jnp.int8).reshape(b, s, h, d),
+        scales.reshape(b, s, h, d // g),
+        (zeros - off).reshape(b, s, h, d // g),
+    )
+
+
+def _decode(codes, scales, zeros, d: int, dtype):
+    b, s, h, _ = codes.shape
+    g = d // scales.shape[-1]
+    vals = decode_int(
+        codes.astype(jnp.int32).reshape(-1, g).astype(jnp.float32),
+        scales.reshape(-1, 1),
+        zeros.reshape(-1, 1),
+        symmetric=False,
+    )
+    return vals.reshape(b, s, h, d).astype(dtype)
+
+
+def make_caches(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    head_dim: int,
+    kv_cfg: KVCacheConfig,
+    dtype=jnp.bfloat16,
+) -> List[CacheView]:
+    t = kv_cfg.max_seq_len
+    if kv_cfg.kv_bits >= 16:
+        return [
+            KVCacheView(
+                jnp.zeros((batch, t, n_kv_heads, head_dim), dtype),
+                jnp.zeros((batch, t, n_kv_heads, head_dim), dtype),
+                jnp.asarray(0, jnp.int32),
+            )
+            for _ in range(n_layers)
+        ]
+    g = min(kv_cfg.kv_group_size, head_dim)
+    ng = head_dim // g
+    return [
+        QuantKVCacheView(
+            jnp.zeros((batch, t, n_kv_heads, head_dim), jnp.int8),
+            jnp.ones((batch, t, n_kv_heads, ng), jnp.float32),
+            jnp.zeros((batch, t, n_kv_heads, ng), jnp.float32),
+            jnp.zeros((batch, t, n_kv_heads, head_dim), jnp.int8),
+            jnp.ones((batch, t, n_kv_heads, ng), jnp.float32),
+            jnp.zeros((batch, t, n_kv_heads, ng), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            kv_cfg.kv_bits,
+            g,
+        )
+        for _ in range(n_layers)
+    ]
+
+
+def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Append S new tokens; return (cache', k_all, v_all) in compute dtype."""
+    if isinstance(cache, KVCacheView):
+        from ..models.common import update_kv_cache
+
+        cache = update_kv_cache(cache, k_new, v_new)
+        return cache, cache.k, cache.v
+
+    start = cache.length
+    d = k_new.shape[-1]
+    kc, ks, kz = _encode(k_new, cache.bits, cache.group)
+    vc, vs, vz = _encode(v_new, cache.bits, cache.group)
+
+    def upd(buf, val):
+        return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), (0, start, 0, 0))
+
+    cache = QuantKVCacheView(
+        upd(cache.k_codes, kc), upd(cache.k_scales, ks), upd(cache.k_zeros, kz),
+        upd(cache.v_codes, vc), upd(cache.v_scales, vs), upd(cache.v_zeros, vz),
+        cache.length + k_new.shape[1], cache.bits, cache.group,
+    )
+    k_all = _decode(cache.k_codes, cache.k_scales, cache.k_zeros, d, k_new.dtype)
+    v_all = _decode(cache.v_codes, cache.v_scales, cache.v_zeros, d, v_new.dtype)
+    return cache, k_all, v_all
+
+
+def cache_length(cache: CacheView) -> jnp.ndarray:
+    return cache.length
+
+
+def cache_max_len(cache: CacheView) -> int:
+    if isinstance(cache, KVCacheView):
+        return cache.k.shape[1]
+    return cache.k_codes.shape[1]

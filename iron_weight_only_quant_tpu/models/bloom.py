@@ -91,8 +91,9 @@ def _block(x, p, cfg: BloomConfig, mask, bias, cache):
     k = linear(x, p["k"]).reshape(b, s, cfg.num_heads, hd)
     v = linear(x, p["v"]).reshape(b, s, cfg.num_heads, hd)
     if cache is not None:
-        cache = update_kv_cache(cache, k, v)
-        k, v = cache.k, cache.v
+        from ..engine.kvcache import update_and_fetch
+
+        cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask, bias=bias)
     x = residual + linear(attn.reshape(b, s, h), p["o"])
 
@@ -111,16 +112,22 @@ def bloom_forward(
     cfg: BloomConfig,
     caches: Optional[List[KVCacheView]] = None,
     positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[List[KVCacheView]]]:
     b, s = tokens.shape
     if caches is None:
-        mask = causal_mask(s)
+        mask = causal_mask(s) if attn_mask is None else attn_mask
         t = s
     else:
         start = caches[0].length
-        t = caches[0].k.shape[1]
-        qpos = (start + jnp.arange(s)) if positions is None else positions
-        mask = (jnp.arange(t)[None, :] <= qpos[:, None])[None, None]
+        from ..engine.kvcache import cache_max_len
+
+        t = cache_max_len(caches[0])
+        if attn_mask is None:
+            qpos = (start + jnp.arange(s)) if positions is None else positions
+            mask = (jnp.arange(t)[None, :] <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
     bias = _alibi_bias(cfg, t)
 
     x = params["embed"][tokens]

@@ -117,8 +117,9 @@ def _block(
     k = apply_rope(k, cos, sin)
 
     if cache is not None:
-        cache = update_kv_cache(cache, k, v)
-        k, v = cache.k, cache.v
+        from ..engine.kvcache import update_and_fetch
+
+        cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask)
     x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
 
@@ -135,6 +136,7 @@ def llama_forward(
     cfg: LlamaConfig,
     caches: Optional[List[KVCacheView]] = None,
     positions: Optional[jnp.ndarray] = None,  # [B, S] or [S]
+    attn_mask: Optional[jnp.ndarray] = None,  # [B|1, 1, S, T] overrides default
 ) -> Tuple[jnp.ndarray, Optional[List[KVCacheView]]]:
     """Full or incremental forward. Returns (logits [B, S, V], caches)."""
     b, s = tokens.shape
@@ -143,17 +145,20 @@ def llama_forward(
     if caches is None:
         if positions is None:
             positions = jnp.arange(s)
-        mask = causal_mask(s)
+        mask = causal_mask(s) if attn_mask is None else attn_mask
     else:
         start = caches[0].length
         if positions is None:
             positions = start + jnp.arange(s)
-        t_max = caches[0].k.shape[1]
-        cols = jnp.arange(t_max)[None, :]
-        rows = positions.reshape(-1)[:, None] if positions.ndim == 1 else None
-        # query at absolute position p attends keys <= p
-        qpos = positions if positions.ndim == 1 else positions[0]
-        mask = (cols <= qpos[:, None])[None, None]
+        if attn_mask is None:
+            from ..engine.kvcache import cache_max_len
+
+            t_max = cache_max_len(caches[0])
+            cols = jnp.arange(t_max)[None, :]
+            qpos = positions if positions.ndim == 1 else positions[0]
+            mask = (cols <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
 
     cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta, cfg.condense_ratio)
 

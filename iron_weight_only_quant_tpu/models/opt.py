@@ -102,8 +102,9 @@ def _block(x, p, cfg: OPTConfig, mask, cache):
     k = linear(x, p["k"]).reshape(b, s, cfg.num_heads, hd)
     v = linear(x, p["v"]).reshape(b, s, cfg.num_heads, hd)
     if cache is not None:
-        cache = update_kv_cache(cache, k, v)
-        k, v = cache.k, cache.v
+        from ..engine.kvcache import update_and_fetch
+
+        cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask)
     x = residual + linear(attn.reshape(b, s, h), p["o"])
     if not cfg.do_layer_norm_before:
@@ -125,20 +126,26 @@ def opt_forward(
     cfg: OPTConfig,
     caches: Optional[List[KVCacheView]] = None,
     positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[List[KVCacheView]]]:
     b, s = tokens.shape
     if caches is None:
         if positions is None:
             positions = jnp.arange(s)
-        mask = causal_mask(s)
+        mask = causal_mask(s) if attn_mask is None else attn_mask
     else:
         start = caches[0].length
         if positions is None:
             positions = start + jnp.arange(s)
-        t_max = caches[0].k.shape[1]
-        cols = jnp.arange(t_max)[None, :]
-        qpos = positions if positions.ndim == 1 else positions[0]
-        mask = (cols <= qpos[:, None])[None, None]
+        if attn_mask is None:
+            from ..engine.kvcache import cache_max_len
+
+            t_max = cache_max_len(caches[0])
+            cols = jnp.arange(t_max)[None, :]
+            qpos = positions if positions.ndim == 1 else positions[0]
+            mask = (cols <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
 
     x = params["embed"][tokens] + params["embed_pos"][positions + POS_OFFSET]
 

@@ -1,0 +1,141 @@
+"""Engine tests: batched generation, continuous batching, quantized KV cache."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iron_weight_only_quant_tpu.config import (
+    EngineConfig,
+    KVCacheConfig,
+    MeshConfig,
+    QuantSpec,
+    replace,
+)
+from iron_weight_only_quant_tpu.engine import InferenceEngine
+from iron_weight_only_quant_tpu.engine.kvcache import make_caches, update_and_fetch
+from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward, llama_init
+from iron_weight_only_quant_tpu.quantize.model_pass import quantize_model_params
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = LlamaConfig.tiny()
+    params = llama_init(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _engine(cfg, params, **kw):
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64, **kw.pop("kv", {})),
+                        max_batch_size=4)
+    return InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg, **kw)
+
+
+class TestGenerate:
+    def test_greedy_matches_full_forward(self, tiny_model):
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        prompt = [1, 7, 3, 9, 2]
+        out = eng.generate([prompt], max_new_tokens=6)[0]
+        # oracle: repeated full forwards
+        seq = list(prompt)
+        for _ in range(6):
+            logits, _ = llama_forward(params, jnp.asarray([seq], jnp.int32), cfg)
+            seq.append(int(jnp.argmax(logits[0, -1])))
+        assert out == seq[len(prompt):]
+
+    def test_ragged_batch_matches_single(self, tiny_model):
+        """Left-padding must not change any row's output."""
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        prompts = [[5, 2, 8], [1, 7, 3, 9, 2, 4, 6], [11]]
+        batched = eng.generate(prompts, max_new_tokens=5)
+        for p, got in zip(prompts, batched):
+            single = eng.generate([p], max_new_tokens=5)[0]
+            assert got == single, p
+
+    def test_temperature_sampling_deterministic_per_seed(self, tiny_model):
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        a = eng.generate([[1, 2, 3]], max_new_tokens=5, temperature=0.8, seed=7)
+        b = eng.generate([[1, 2, 3]], max_new_tokens=5, temperature=0.8, seed=7)
+        c = eng.generate([[1, 2, 3]], max_new_tokens=5, temperature=0.8, seed=8)
+        assert a == b
+        assert a != c or True  # different seeds usually differ; don't hard-require
+
+    def test_overflow_raises(self, tiny_model):
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        with pytest.raises(ValueError):
+            eng.generate([[1] * 60], max_new_tokens=10)
+
+
+class TestContinuousBatching:
+    def test_serve_matches_generate(self, tiny_model):
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        reqs = [[5, 2, 8], [1, 7, 3], [11, 4], [9, 9, 9, 9], [2, 3], [8]]
+        served = eng.serve(reqs, max_new_tokens=4)
+        for r, got in zip(reqs, served):
+            want = eng.generate([r], max_new_tokens=4)[0]
+            assert got == want, r
+
+
+class TestQuantizedKV:
+    def test_int8_kv_roundtrip(self):
+        caches = make_caches(1, 2, 2, 16, KVCacheConfig(max_seq_len=8, kv_bits=8,
+                                                        kv_group_size=8))
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.normal(size=(2, 3, 2, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 3, 2, 16)).astype(np.float32))
+        cache, k_all, v_all = update_and_fetch(caches[0], k, v)
+        err = np.abs(np.asarray(k_all[:, :3]) - np.asarray(k)).max()
+        assert err < 0.02  # int8 asym error bound
+        assert int(cache.length) == 3
+
+    def test_generation_with_quantized_kv(self, tiny_model):
+        cfg, params = tiny_model
+        eng8 = _engine(cfg, params, kv={"kv_bits": 8, "kv_group_size": 64})
+        eng16 = _engine(cfg, params)
+        out8 = eng8.generate([[1, 7, 3, 9]], max_new_tokens=4)[0]
+        out16 = eng16.generate([[1, 7, 3, 9]], max_new_tokens=4)[0]
+        # int8 KV shouldn't derail a short greedy rollout on this model
+        assert len(out8) == 4
+        assert out8[0] == out16[0]
+
+    def test_int4_kv_runs(self, tiny_model):
+        cfg, params = tiny_model
+        eng4 = _engine(cfg, params, kv={"kv_bits": 4, "kv_group_size": 16})
+        out = eng4.generate([[1, 7, 3]], max_new_tokens=3)[0]
+        assert len(out) == 3
+
+
+class TestQuantizedModelEngine:
+    def test_quantized_weights_generation(self, tiny_model):
+        cfg, params = tiny_model
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        )
+        eng = _engine(cfg, qp)
+        out = eng.generate([[1, 7, 3, 9]], max_new_tokens=4)[0]
+        assert len(out) == 4
+
+
+class TestShardedEngine:
+    def test_tp_dp_matches_single_device(self, tiny_model):
+        """2x4 (data x model) virtual mesh must reproduce single-device output."""
+        cfg, params = tiny_model
+        eng1 = _engine(cfg, params)
+        ecfg = EngineConfig(
+            kv=KVCacheConfig(max_seq_len=64),
+            mesh=MeshConfig(data=2, model=4),
+            max_batch_size=4,
+        )
+        eng8 = InferenceEngine(params, cfg, llama_forward, family="llama",
+                               engine_cfg=ecfg)
+        prompts = [[5, 2, 8], [1, 7, 3, 9]]
+        assert eng8.mesh is not None
+        out8 = eng8.generate(prompts, max_new_tokens=5)
+        out1 = eng1.generate(prompts, max_new_tokens=5)
+        assert out8 == out1
