@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""End-to-end decode benchmark on real TPU hardware.
+
+Measures greedy decode throughput of a LLaMA-7B-shape model with int4-g128
+packed weights (random init -- no network in this container; throughput is
+weight-independent) and the speedup vs a bf16 dense baseline, then prints
+ONE JSON line for the driver.
+
+Methodology notes (see NOTES.md): the axon tunnel adds ~25 ms fixed
+per-invocation overhead and async-completes without a host fetch, so the
+decode loop runs as a jitted lax.scan and timing is the slope between two
+scan lengths.
+
+Usage:  timeout 1200 python bench.py            # full 7B on TPU
+        python bench.py --small                 # tiny sanity run (any device)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_quantized_llama(cfg, key, spec, dtype):
+    """Random-init directly on device, quantizing each linear as it is made
+    (avoids materializing the dense 7B model or host->device transfers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.quantize import quantize_tensor
+
+    h, inter, hd = cfg.hidden_size, cfg.intermediate_size, cfg.hd
+    qdim, kvdim = cfg.num_heads * hd, cfg.num_kv_heads * hd
+
+    fn_cache = {}
+
+    def qlin(k, kin, kout):
+        if spec is None:
+            w = jax.random.normal(k, (kin, kout), dtype) * (kin**-0.5)
+            return {"w": w, "b": None}
+        if (kin, kout) not in fn_cache:
+            fn_cache[(kin, kout)] = jax.jit(
+                lambda kk, _kin=kin, _kout=kout: quantize_tensor(
+                    jax.random.normal(kk, (_kin, _kout), jnp.float32) * (_kin**-0.5),
+                    spec,
+                )
+            )
+        return {"w": fn_cache[(kin, kout)](k), "b": None}
+
+    keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_norm": jnp.ones((h,), dtype),
+            "q": qlin(next(keys), h, qdim),
+            "k": qlin(next(keys), h, kvdim),
+            "v": qlin(next(keys), h, kvdim),
+            "o": qlin(next(keys), qdim, h),
+            "post_norm": jnp.ones((h,), dtype),
+            "gate": qlin(next(keys), h, inter),
+            "up": qlin(next(keys), h, inter),
+            "down": qlin(next(keys), inter, h),
+        })
+    return {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": {"w": jax.random.normal(next(keys), (h, cfg.vocab_size), dtype) * 0.02,
+                    "b": None},
+    }
+
+
+def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64):
+    """Slope-timed per-step decode latency via jitted scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.engine.kvcache import make_caches
+    from iron_weight_only_quant_tpu.config import KVCacheConfig
+    from iron_weight_only_quant_tpu.models import llama_forward
+
+    def make_runner(steps):
+        @jax.jit
+        def run(params, tok0, caches):
+            def step(carry, _):
+                tok, caches = carry
+                logits, caches = llama_forward(params, tok, cfg, caches=caches)
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                return (nxt, caches), nxt[:, 0]
+
+            (tok, caches), toks = jax.lax.scan(step, (tok0, caches), None, length=steps)
+            return toks
+
+        return run
+
+    def run_once(runner):
+        caches = make_caches(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
+                             KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
+        prompt = jnp.ones((batch, 8), jnp.int32)
+        logits, caches = llama_forward(params, prompt, cfg, caches=caches)
+        tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        out = runner(params, tok0, caches)
+        return float(jnp.sum(out))  # force completion through the tunnel
+
+    lo, hi = make_runner(t_lo), make_runner(t_hi)
+    run_once(lo)  # compile
+    run_once(hi)
+    ts_lo = min(_timed(run_once, lo) for _ in range(2))
+    ts_hi = min(_timed(run_once, hi) for _ in range(2))
+    return max((ts_hi - ts_lo) / (t_hi - t_lo), 1e-9)
+
+
+def _timed(f, *a):
+    t0 = time.perf_counter()
+    f(*a)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny config sanity run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.config import QuantSpec
+    from iron_weight_only_quant_tpu.models import LlamaConfig
+
+    if args.small:
+        cfg = LlamaConfig(vocab_size=512, hidden_size=512, intermediate_size=1024,
+                          num_layers=2, num_heads=4, num_kv_heads=2,
+                          max_position_embeddings=256)
+        ratio_layers = 2
+        batch = 4
+    else:
+        cfg = LlamaConfig.llama2_7b()
+        ratio_layers = 8  # sub-model both paths fit in HBM for the ratio
+        batch = 8
+
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    key = jax.random.PRNGKey(0)
+
+    # headline: full-depth W4 decode throughput
+    params_w4 = build_quantized_llama(cfg, key, spec, jnp.bfloat16)
+    t_step = decode_time_per_step(cfg, params_w4, batch)
+    toks_per_s = batch / t_step
+    del params_w4
+
+    # speedup ratio on a reduced-depth twin (bf16 full 7B does not fit HBM
+    # alongside scratch through this tunnel reliably)
+    import dataclasses
+    cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
+    p_w4 = build_quantized_llama(cfg_r, key, spec, jnp.bfloat16)
+    t_w4 = decode_time_per_step(cfg_r, p_w4, batch)
+    del p_w4
+    p_bf16 = build_quantized_llama(cfg_r, key, None, jnp.bfloat16)
+    t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch)
+    del p_bf16
+    speedup = t_bf16 / t_w4
+
+    result = {
+        "metric": "llama7b-shape W4g128 decode throughput, 1 chip"
+        if not args.small else "tiny W4 decode throughput (sanity)",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(speedup / 1.9, 3),
+        "detail": {
+            "per_step_ms": round(t_step * 1e3, 2),
+            "batch": batch,
+            "speedup_vs_bf16_dense": round(speedup, 3),
+            "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Loglikelihood API over a (params, forward, cfg) model.
+
+The engine-side counterpart of the reference's vendored BaseLM
+(gptq/zeroShot/models/models_utils.py:138-451): batched, length-bucketed
+scoring of (context, continuation) pairs for zero-shot tasks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("forward", "cfg"))
+def _score_batch(params, tokens, forward, cfg):
+    """tokens [B, L] -> per-position logprobs [B, L-1, V-argmax pieces].
+
+    Returns (logprob of each next-token, greedy flag per position).
+    """
+    logits, _ = forward(params, tokens, cfg)
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = tokens[:, 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    greedy = jnp.argmax(logits, axis=-1) == targets
+    return tgt - logz, greedy
+
+
+class EvalLM:
+    """Scores continuations; truncates from the left to the model window."""
+
+    def __init__(self, params, forward: Callable, cfg, max_len: int = 2048,
+                 batch_size: int = 8, pad_token: int = 0):
+        self.params = params
+        self.forward = forward
+        self.cfg = cfg
+        self.max_len = min(max_len, getattr(cfg, "max_position_embeddings", max_len))
+        self.batch_size = batch_size
+        self.pad_token = pad_token
+
+    def loglikelihood(
+        self, pairs: Sequence[Tuple[List[int], List[int]]]
+    ) -> List[Tuple[float, bool]]:
+        """[(context_tokens, continuation_tokens)] -> [(ll_sum, is_greedy)].
+
+        Contexts are left-truncated so context+continuation fits the window;
+        batches are right-padded (pad positions scored but ignored).
+        """
+        results: List[Tuple[float, bool]] = [None] * len(pairs)  # type: ignore
+        order = sorted(range(len(pairs)), key=lambda i: -(len(pairs[i][0]) + len(pairs[i][1])))
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            seqs, spans = [], []
+            for i in idxs:
+                ctx, cont = pairs[i]
+                if not cont:
+                    raise ValueError("empty continuation")
+                ctx = list(ctx) if ctx else [self.pad_token]
+                full = (ctx + list(cont))[-self.max_len :]
+                cont_start = len(full) - len(cont)
+                seqs.append(full)
+                spans.append((cont_start, len(full)))
+            L = max(len(s) for s in seqs)
+            batch = np.full((len(seqs), L), self.pad_token, np.int32)
+            for j, s in enumerate(seqs):
+                batch[j, : len(s)] = s
+            ll, greedy = _score_batch(
+                self.params, jnp.asarray(batch), self.forward, self.cfg
+            )
+            ll = np.asarray(ll)
+            greedy = np.asarray(greedy)
+            for j, i in enumerate(idxs):
+                a, b = spans[j]
+                # next-token position k is predicted at index k-1
+                results[i] = (
+                    float(ll[j, a - 1 : b - 1].sum()),
+                    bool(greedy[j, a - 1 : b - 1].all()),
+                )
+        return results
+
+    def loglikelihood_rolling(self, tokens: List[int]) -> float:
+        """Full-sequence nll (for perplexity-style tasks)."""
+        out = self.loglikelihood([([self.pad_token], tokens)])
+        return out[0][0]
