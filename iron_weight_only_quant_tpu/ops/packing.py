@@ -10,14 +10,21 @@ in-register unpacking.  On TPU, lane interleaving is expensive but
         two contiguous K-slabs -- no interleave, and a fused kernel simply
         computes ``x[:, :K/2] @ W_lo + x[:, K/2:] @ W_hi``.
   int2: byte holds codes ``(k, k+K/4, k+K/2, k+3K/4)`` in 2-bit lanes.
-  int8: stored directly (int8).
+  int8: one byte per code.
 
-Codes are stored *unsigned* with the format's zero offset folded into the
-zero-point array (symmetric int4 stores ``code + 8`` and ``zero = 8``), so a
-single ``(q - z) * s`` dequant rule covers symmetric and asymmetric weights.
+Two bit-level twists make the packed bytes *directly consumable by int8
+vector hardware* (Mosaic has no u8->float casts and no i8 shifts; see
+NOTES.md):
 
-Widths without a packed layout (3/5/6/7-bit, fp6) fall back to one byte per
-code ("byte" layout) -- correct, just not size-optimal yet.
+  * the int4 high nibble is stored with its MSB flipped (``hi ^ 8``), so
+    ``int8_bitcast(byte & 0xF0) == 16*hi - 128`` exactly -- the fused kernel
+    feeds that to the MXU and folds the /16 and +128 into its per-group
+    epilogue;
+  * 8-bit codes are stored as ``code - 128`` two's-complement (callers shift
+    their zero-points by -128), so a bare int8 bitcast yields the code.
+
+``unpack_codes`` undoes both: it always returns the logical unsigned codes
+for 2/4-bit and the signed (shifted) codes for 8-bit.
 """
 
 from __future__ import annotations
@@ -33,39 +40,52 @@ PACKED_LAYOUTS = {
     8: ("byte", 1),
 }
 
+INT8_STORAGE_SHIFT = 128  # 8-bit codes are stored as code - 128 (int8 pattern)
+
 
 def packing_for_bits(bits: int) -> Tuple[str, int]:
     return PACKED_LAYOUTS.get(bits, ("byte", 1))
 
 
 def pack_codes(codes: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """Unsigned codes ``[K, N]`` int32 -> packed uint8 array.
+    """Codes ``[K, N]`` int32 -> packed uint8 array.
 
-    * 4-bit: ``[K/2, N]``  (low nibble = first K-half, high = second)
-    * 2-bit: ``[K/4, N]``  (2-bit lanes = K-quarters, low to high)
-    * else : ``[K, N]`` uint8
+    * 4-bit: codes in [0, 15] -> ``[K/2, N]`` (high nibble MSB-flipped)
+    * 2-bit: codes in [0, 3]  -> ``[K/4, N]``
+    * 8-bit: codes in [-128, 127] (already shifted by caller) -> ``[K, N]``
     """
     layout, per_byte = packing_for_bits(bits)
     k = codes.shape[0]
     if layout == "byte":
-        return codes.astype(jnp.uint8)
+        return (codes & 0xFF).astype(jnp.uint8)
     if k % per_byte != 0:
         raise ValueError(f"K={k} must divide {per_byte} for {bits}-bit packing")
     span = k // per_byte
     out = jnp.zeros((span,) + codes.shape[1:], jnp.int32)
     for i in range(per_byte):
-        out = out | (codes[i * span : (i + 1) * span] << (bits * i))
+        slab = codes[i * span : (i + 1) * span]
+        if bits == 4 and i == 1:
+            slab = slab ^ 8  # MSB flip: i8(byte & 0xF0) == 16*hi - 128
+        out = out | (slab << (bits * i))
     return out.astype(jnp.uint8)
 
 
 def unpack_codes(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
-    """Inverse of :func:`pack_codes`: -> unsigned codes ``[K, N]`` int32."""
+    """Inverse of :func:`pack_codes` -> logical codes ``[K, N]`` int32.
+
+    4/2-bit: unsigned [0, 2^bits).  8-bit: signed (stored) value [-128, 127].
+    """
     layout, per_byte = packing_for_bits(bits)
     p = packed.astype(jnp.int32)
     if layout == "byte":
-        return p
+        return ((p & 0xFF) ^ 0x80) - 0x80  # sign-extend the int8 pattern
     mask = (1 << bits) - 1
-    slabs = [(p >> (bits * i)) & mask for i in range(per_byte)]
+    slabs = []
+    for i in range(per_byte):
+        slab = (p >> (bits * i)) & mask
+        if bits == 4 and i == 1:
+            slab = slab ^ 8
+        slabs.append(slab)
     return jnp.concatenate(slabs, axis=0)
 
 

@@ -57,22 +57,20 @@ def _pick_tm(m: int) -> int:
 
 
 def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
-                 mult: float = 1.0):
+                 mult: float = 1.0, zshift: float = 0.0):
     """Accumulate one K-slab's contribution with scales in the epilogue.
 
-    The dequant product is refactored so the MXU consumes *raw codes* and
-    all affine correction happens per group on the [TM, TN] output tile:
+    The dequant product is refactored so the MXU consumes *raw stored codes*
+    and all affine correction happens per group on the [TM, TN] output tile:
 
         sum_k x[m,k] (q[k,n] - z[g,n]) s[g,n]
-          = sum_groups s[g,n] * (x_g @ q_g)[m,n] - (sum_k x_g[m,k]) z[g,n] s[g,n]
+          = sum_groups (x_g @ v_g) * s * mult - (sum_k x_g[m,k]) s (z - zshift)
 
-    Per weight element only the int->bf16 cast remains (VPU); the per-element
-    subtract/multiply of naive dequant made the kernel VPU-bound and slower
-    than dense bf16.
-
-    ``mult`` rescales codes that arrive pre-multiplied (the high nibble is
-    extracted as ``qw & 0xF0 = 16*hi`` because Mosaic has no i8 vector
-    shift; the /16 folds into the group scale for free).
+    where the stored value v relates to the logical code q by
+    ``v = q/mult - zshift/mult`` (packing.py bit twists: the int4 high nibble
+    is stored so that its int8 view reads ``16 q - 128`` -> mult=1/16,
+    zshift=8).  Per weight element only a mask + cast remain on the VPU; the
+    per-element subtract/multiply of naive dequant made the kernel VPU-bound.
     """
     for r in range(rs):
         qg = codes[r * g : (r + 1) * g, :].astype(dtype)
@@ -81,7 +79,7 @@ def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
         s = s_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
         z = z_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + part * (s * mult) - xsum * (s * z)
+        acc = acc + part * (s * mult) - xsum * (s * (z - zshift))
     return acc
 
 
@@ -92,19 +90,19 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     kk = pl.program_id(2)
-    # stay in 8-bit lanes: u8 bit-ops then i8/i16 -> bf16 (Mosaic has no
-    # direct u8->float cast; widening through i32 was the VPU bottleneck,
-    # and i8 vector right-shift is unsupported -- hence the &0xF0 trick)
+    # one 8-bit-lane mask op per nibble; the stored MSB-flipped high nibble
+    # makes i8(qw & 0xF0) == 16*hi - 128 exactly (no shifts, no widening)
     qw = qw_ref[:]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
     lo = (qw & 0xF).astype(jnp.int8)
-    hi16 = (qw & 0xF0).astype(jnp.int16)  # = 16 * hi, /16 folded into scale
+    hi = qw_i8 & jnp.int8(-16)
     g = qw.shape[0] // rs
     dtype = x_lo_ref.dtype
 
     acc = acc_ref[:]
     acc = _group_accum(acc, x_lo_ref[:], lo, s_ref, z_ref, kk * rs, rs, g, dtype)
-    acc = _group_accum(acc, x_hi_ref[:], hi16, s_ref, z_ref, (nk + kk) * rs, rs, g,
-                       dtype, mult=1.0 / 16.0)
+    acc = _group_accum(acc, x_hi_ref[:], hi, s_ref, z_ref, (nk + kk) * rs, rs, g,
+                       dtype, mult=1.0 / 16.0, zshift=8.0)
     acc_ref[:] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -119,9 +117,9 @@ def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     kk = pl.program_id(2)
-    # widen u8 codes only to i16 (Mosaic casts u8->i16->bf16 natively;
-    # i32 widening was the VPU bottleneck)
-    codes = qw_ref[:].astype(jnp.int16)
+    # byte codes are stored as two's-complement (code - 128) with shifted
+    # zero-points, so a bare bitcast is the whole unpack
+    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
     g = qw_ref.shape[0] // rs
     acc_ref[:] = _group_accum(
         acc_ref[:], x_ref[:], codes, s_ref, z_ref, kk * rs, rs, g, x_ref.dtype
@@ -171,21 +169,32 @@ def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int) -> jnp.nda
     raise ValueError(f"incompatible group layout {side.shape} for K={k}")
 
 
-def _plan_k(kp: int, rows: int, k: int):
-    """Choose packed-K tile size and per-tile scale-row count."""
-    if rows > 1:
-        g = k // rows
-        tpk = g if g >= 128 else 128
-        tpk = min(tpk, kp)
-    else:
-        tpk = min(256, kp)
-    while kp % tpk != 0:
-        tpk //= 2
-    if rows > 1:
-        g = k // rows
-        rs = max(1, tpk // g)
-    else:
-        rs = 1
+def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
+    """Choose packed-K tile size and per-tile scale-row count.
+
+    Large K-tiles matter far more than anything inside the kernel: at
+    tpk=128 even a plain bf16 pallas matmul runs at ~270 GB/s on v5e while
+    tpk>=512 approaches roofline (NOTES.md).  So: take the *largest* tpk
+    that (a) divides the packed K extent, (b) is a multiple of both the
+    group span and the 128-lane x-block alignment, and (c) keeps the
+    double-buffered working set within VMEM.  Groups smaller than the tile
+    are handled by slicing ``rs`` group rows per tile.
+    """
+    g = k // rows if rows > 1 else None
+    base = 128
+    if g is not None and g > 128:
+        base = g if g % 128 == 0 else 128 * g  # g not 128-aligned: lcm-ish
+    # bytes per packed-K row in VMEM: qw tile + x slab tiles (bf16), double
+    # buffered; leave room for acc/scales/output
+    per_row = tn + slabs * tm * 2
+    budget_rows = (10 * 1024 * 1024) // (2 * per_row)
+    tpk = base
+    cand = base
+    while cand <= min(kp, budget_rows):
+        if kp % cand == 0:
+            tpk = cand
+        cand += base
+    rs = max(1, tpk // g) if g is not None else 1
     g_target = tpk // rs
     return tpk, rs, g_target
 
@@ -210,7 +219,7 @@ def fused_quantized_matmul(
 
     rows = qt.scales.shape[0]
     kp = k // 2 if bits == 4 else k
-    tpk, rs, g_target = _plan_k(kp, rows, k)
+    tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs=2 if bits == 4 else 1)
     nk = kp // tpk
     scales = _normalize_side(qt.scales, k, n, g_target)
     zeros = _normalize_side(qt.zeros, k, n, g_target)

@@ -39,6 +39,8 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
         zeros = expand(qt.zeros.astype(jnp.float32)) if qt.zeros is not None else 0.0
         w = (codes.astype(jnp.float32) - zeros) * expand(scales)
     else:  # lut
+        if packed_bits(qt) == 8:
+            codes = codes + 128  # byte layout stores code-128 (packing.py)
         w = qt.codebook[codes] * expand(scales)
         if qt.zeros is not None:
             w = w + expand(qt.zeros.astype(jnp.float32))

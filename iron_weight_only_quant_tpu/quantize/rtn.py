@@ -13,7 +13,7 @@ from ..config import PER_CHANNEL, PER_TENSOR, QuantSpec
 from ..formats import make_groups, quantize_groups
 from ..formats.api import _align_kind
 from ..formats.minifloat import minifloat_codebook
-from ..ops.packing import pack_codes, signed_to_unsigned_offset
+from ..ops.packing import pack_codes, packing_for_bits, signed_to_unsigned_offset
 from .qtensor import QuantizedTensor
 
 
@@ -60,18 +60,28 @@ def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
         else:
             zeros = _kernel_layout(enc.zeros, k, n, spec.group_size)
         scales = _kernel_layout(enc.scales, k, n, spec.group_size)
+        if packing_for_bits(spec.bits)[0] == "byte":
+            # byte layouts store two's-complement code-128 (see packing.py);
+            # shifting the zero-point keeps (code - zero) invariant
+            codes = codes - 128
+            zeros = zeros - 128.0
         qweight = pack_codes(codes, spec.bits)
         return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
 
     if spec.fmt == "bfp":
-        # signed mantissa magnitude <= 2^(b-1)-1, so +2^(b-1) fits in b bits
-        off = signed_to_unsigned_offset(spec.bits)
-        codes = codes_to_kernel(enc.codes) + off
+        codes = codes_to_kernel(enc.codes)
+        if packing_for_bits(spec.bits)[0] == "byte":
+            # signed mantissas fit the int8 pattern directly
+            zeros = jnp.zeros((1, 1), jnp.float32)
+        else:
+            # sub-byte: shift to unsigned (magnitude <= 2^(b-1)-1)
+            off = signed_to_unsigned_offset(spec.bits)
+            codes = codes + off
+            zeros = jnp.full((1, 1), float(off), jnp.float32)
         target_mant_bits = min(spec.bits - 1, 11)
         frac = target_mant_bits - 1
         scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
         scales = _kernel_layout(scales_g, k, n, spec.group_size)
-        zeros = jnp.full((1, 1), float(off), jnp.float32)
         qweight = pack_codes(codes, spec.bits)
         return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
 
@@ -84,5 +94,8 @@ def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
     zeros = (
         _kernel_layout(enc.zeros, k, n, spec.group_size) if enc.zeros is not None else None
     )
-    qweight = pack_codes(codes, fmt.total_bits if fmt.total_bits in (2, 4, 8) else 8)
+    store_bits = fmt.total_bits if fmt.total_bits in (2, 4) else 8
+    if store_bits == 8:
+        codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
+    qweight = pack_codes(codes, store_bits)
     return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut")

@@ -49,7 +49,8 @@ class TestPacking:
     @pytest.mark.parametrize("bits", [2, 4, 8])
     def test_roundtrip(self, rng, bits):
         k, n = 64, 16
-        codes = jnp.asarray(rng.integers(0, 2**bits, size=(k, n)), dtype=jnp.int32)
+        lo, hi = (-128, 128) if bits == 8 else (0, 2**bits)
+        codes = jnp.asarray(rng.integers(lo, hi, size=(k, n)), dtype=jnp.int32)
         packed = pack_codes(codes, bits)
         assert packed.dtype == jnp.uint8
         assert packed.shape[0] == k // (8 // bits)
@@ -57,11 +58,14 @@ class TestPacking:
         np.testing.assert_array_equal(np.asarray(codes), np.asarray(back))
 
     def test_int4_split_k_layout(self):
-        # low nibble = first K-half: check directly
+        # low nibble = first K-half; high nibble stored MSB-flipped so its
+        # int8 view reads 16*hi - 128 (packing.py)
         codes = jnp.asarray([[1], [2], [3], [4]], dtype=jnp.int32)  # K=4
         packed = np.asarray(pack_codes(codes, 4))
-        assert packed[0, 0] == 1 | (3 << 4)
-        assert packed[1, 0] == 2 | (4 << 4)
+        assert packed[0, 0] == 1 | ((3 ^ 8) << 4)
+        assert packed[1, 0] == 2 | ((4 ^ 8) << 4)
+        for b, hi in ((packed[0, 0], 3), (packed[1, 0], 4)):
+            assert np.int8(b & 0xF0) == 16 * hi - 128
 
 
 class TestQuantizedTensor:
