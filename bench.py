@@ -72,21 +72,31 @@ def build_quantized_llama(cfg, key, spec, dtype):
     }
 
 
-def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64):
-    """Slope-timed per-step decode latency via jitted scan."""
+def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
+                         scan_layers=False):
+    """Slope-timed per-step decode latency via jitted scan over steps.
+
+    ``scan_layers=False`` (default) uses the unrolled forward: slower compile
+    but no per-step HBM re-copy of layer weights (lax.scan slices each
+    layer's packed weights out of the stacked array every step, roughly
+    doubling decode time for weight-stationary inference -- see NOTES.md).
+    """
     import jax
     import jax.numpy as jnp
 
-    from iron_weight_only_quant_tpu.engine.kvcache import make_caches
+    from iron_weight_only_quant_tpu.engine.kvcache import make_caches, make_stacked_caches
     from iron_weight_only_quant_tpu.config import KVCacheConfig
     from iron_weight_only_quant_tpu.models import llama_forward
+    from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
+
+    fwd = llama_forward_scan if scan_layers else llama_forward
 
     def make_runner(steps):
         @jax.jit
         def run(params, tok0, caches):
             def step(carry, _):
                 tok, caches = carry
-                logits, caches = llama_forward(params, tok, cfg, caches=caches)
+                logits, caches = fwd(params, tok, cfg, caches=caches)
                 nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
                 return (nxt, caches), nxt[:, 0]
 
@@ -96,10 +106,11 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64):
         return run
 
     def run_once(runner):
-        caches = make_caches(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
-                             KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
+        mk = make_stacked_caches if scan_layers else make_caches
+        caches = mk(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
+                    KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
         prompt = jnp.ones((batch, 8), jnp.int32)
-        logits, caches = llama_forward(params, prompt, cfg, caches=caches)
+        logits, caches = fwd(params, prompt, cfg, caches=caches)
         tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         out = runner(params, tok0, caches)
         return float(jnp.sum(out))  # force completion through the tunnel
@@ -121,6 +132,8 @@ def _timed(f, *a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
+    ap.add_argument("--scan", action="store_true",
+                    help="scan-over-layers forward (fast compile, slower decode)")
     args = ap.parse_args()
 
     import jax
@@ -143,9 +156,14 @@ def main():
     spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
     key = jax.random.PRNGKey(0)
 
+    from iron_weight_only_quant_tpu.models.llama import stack_llama_layers
+
+    def prep(p):
+        return stack_llama_layers(p) if args.scan else p
+
     # headline: full-depth W4 decode throughput
-    params_w4 = build_quantized_llama(cfg, key, spec, jnp.bfloat16)
-    t_step = decode_time_per_step(cfg, params_w4, batch)
+    params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16))
+    t_step = decode_time_per_step(cfg, params_w4, batch, scan_layers=args.scan)
     toks_per_s = batch / t_step
     del params_w4
 
@@ -153,11 +171,11 @@ def main():
     # alongside scratch through this tunnel reliably)
     import dataclasses
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
-    p_w4 = build_quantized_llama(cfg_r, key, spec, jnp.bfloat16)
-    t_w4 = decode_time_per_step(cfg_r, p_w4, batch)
+    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16))
+    t_w4 = decode_time_per_step(cfg_r, p_w4, batch, scan_layers=args.scan)
     del p_w4
-    p_bf16 = build_quantized_llama(cfg_r, key, None, jnp.bfloat16)
-    t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch)
+    p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
+    t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch, scan_layers=args.scan)
     del p_bf16
     speedup = t_bf16 / t_w4
 

@@ -179,6 +179,7 @@ class GPTQConfig:
     percdamp: float = 0.01
     act_order: bool = False
     static_groups: bool = False
+    mse: bool = False  # grid-shrink scale search (reference quant.py:78-95)
     calib_dataset: str = "wikitext2"
     calib_seqlen: int = 2048
     seed: int = 0

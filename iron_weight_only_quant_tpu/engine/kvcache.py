@@ -137,6 +137,19 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
     return cache, k_all, v_all
 
 
+def make_stacked_caches(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    head_dim: int,
+    kv_cfg: KVCacheConfig,
+    dtype=jnp.bfloat16,
+):
+    """One cache view with a leading layer axis, for scan-over-layers models."""
+    per_layer = make_caches(n_layers, batch, n_kv_heads, head_dim, kv_cfg, dtype)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
 def cache_length(cache: CacheView) -> jnp.ndarray:
     return cache.length
 

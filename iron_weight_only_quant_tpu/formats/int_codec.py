@@ -92,3 +92,23 @@ def pseudo_quantize(
     codes, scales, zeros = encode_int(t, bits, symmetric=not zero_point)
     out = decode_int(codes, scales, zeros, symmetric=not zero_point)
     return out.reshape(shape).astype(tensor.dtype)
+
+
+# Named convenience wrappers mirroring reference quant_funcs.py:49-77.
+
+def quantize_weight_per_channel_absmax(w, n_bits: int = 8):
+    return pseudo_quantize(w, bits=n_bits, zero_point=False, group_size=-1)
+
+
+def quantize_weight_per_tensor_absmax(w, n_bits: int = 8):
+    return pseudo_quantize(w, bits=n_bits, zero_point=False, group_size=-1,
+                           per_tensor=True)
+
+
+def quantize_activation_per_token_absmax(t, n_bits: int = 8):
+    return pseudo_quantize(t, bits=n_bits, zero_point=True, group_size=-1)
+
+
+def quantize_activation_per_tensor_absmax(t, n_bits: int = 8):
+    return pseudo_quantize(t, bits=n_bits, zero_point=True, group_size=-1,
+                           per_tensor=True)

@@ -175,3 +175,75 @@ def llama_forward(
     else:
         logits = linear(x, params["lm_head"])
     return logits, new_caches
+
+
+# ------------------------------------------------- scan-over-layers variant
+
+def stack_llama_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Stack the per-layer param list into one pytree with leading L axis.
+
+    Enables :func:`llama_forward_scan`: one compiled block body instead of
+    ``num_layers`` unrolled copies -- compile time and HLO size become
+    depth-independent (essential for 70B-class, 80-layer models).
+    """
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**{k: v for k, v in params.items() if k != "layers"},
+            "layers_stacked": stacked}
+
+
+def llama_forward_scan(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    cfg: LlamaConfig,
+    caches=None,  # stacked cache pytree with leading L axis, or None
+    positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Any]]:
+    """Same semantics as :func:`llama_forward` over stacked layers.
+
+    ``caches``, when given, is a single cache view whose arrays carry a
+    leading layer axis (see engine.kvcache.make_stacked_caches).
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+
+    if caches is None:
+        if positions is None:
+            positions = jnp.arange(s)
+        mask = causal_mask(s) if attn_mask is None else attn_mask
+    else:
+        start = caches.length[0]
+        if positions is None:
+            positions = start + jnp.arange(s)
+        if attn_mask is None:
+            t_max = caches.k.shape[2] if hasattr(caches, "k") else caches.k_codes.shape[2]
+            cols = jnp.arange(t_max)[None, :]
+            qpos = positions if positions.ndim == 1 else positions[0]
+            mask = (cols <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
+
+    cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta, cfg.condense_ratio)
+
+    if caches is None:
+        def body(x, lp):
+            x, _ = _block(x, lp, cfg, cos, sin, mask, None)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["layers_stacked"])
+        new_caches = None
+    else:
+        def body(x, inputs):
+            lp, cache_l = inputs
+            x, cache_l = _block(x, lp, cfg, cos, sin, mask, cache_l)
+            return x, cache_l
+
+        x, new_caches = jax.lax.scan(body, x, (params["layers_stacked"], caches))
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    else:
+        logits = linear(x, params["lm_head"])
+    return logits, new_caches

@@ -48,9 +48,15 @@ def hessian_update(h: jnp.ndarray, n: jnp.ndarray, x: jnp.ndarray):
 
 
 def _find_params(
-    w: jnp.ndarray, bits: int, sym: bool
+    w: jnp.ndarray, bits: int, sym: bool, mse: bool = False,
+    norm: float = 2.4, grid: int = 100, maxshrink: float = 0.8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row min/max grid params; w: [rows, width] -> (scale, zero) [rows]."""
+    """Per-row min/max grid params; w: [rows, width] -> (scale, zero) [rows].
+
+    ``mse=True`` runs the reference Quantizer's grid-shrink search
+    (gptq/quant.py:78-95): try ``p = 1 - i/grid`` shrunken ranges and keep
+    the one minimizing the p-norm reconstruction error per row.
+    """
     maxq = float(2**bits - 1)
     xmin = jnp.minimum(jnp.min(w, axis=1), 0.0)
     xmax = jnp.maximum(jnp.max(w, axis=1), 0.0)
@@ -65,6 +71,29 @@ def _find_params(
         zero = jnp.full_like(scale, (maxq + 1) / 2)
     else:
         zero = jnp.round(-xmin / scale)
+
+    if mse:
+        def body(i, carry):
+            best, scale, zero = carry
+            p = 1.0 - i / grid
+            xmin1, xmax1 = p * xmin, p * xmax
+            scale1 = (xmax1 - xmin1) / maxq
+            zero1 = zero if sym else jnp.round(-xmin1 / scale1)
+            q = jnp.clip(jnp.round(w / scale1[:, None]) + zero1[:, None], 0, maxq)
+            err = jnp.sum(
+                jnp.abs(scale1[:, None] * (q - zero1[:, None]) - w) ** norm, axis=1
+            )
+            better = err < best
+            return (
+                jnp.where(better, err, best),
+                jnp.where(better, scale1, scale),
+                jnp.where(better, zero1, zero),
+            )
+
+        best0 = jnp.full(w.shape[0], jnp.inf)
+        _, scale, zero = jax.lax.fori_loop(
+            0, int(maxshrink * grid), body, (best0, scale, zero)
+        )
     return scale, zero
 
 
@@ -76,7 +105,7 @@ def _quantize_col(w, scale, zero, maxq):
 @partial(
     jax.jit,
     static_argnames=("bits", "sym", "groupsize", "blocksize", "actorder",
-                     "static_groups", "percdamp"),
+                     "static_groups", "percdamp", "mse"),
 )
 def gptq_quantize(
     w: jnp.ndarray,  # [rows, cols] f32 -- note [out, in] orientation
@@ -89,6 +118,7 @@ def gptq_quantize(
     percdamp: float = 0.01,
     actorder: bool = False,
     static_groups: bool = False,
+    mse: bool = False,
 ) -> GPTQResult:
     rows, cols = w.shape
     maxq = float(2**bits - 1)
@@ -107,7 +137,7 @@ def gptq_quantize(
     if static_groups:
         sg_scales, sg_zeros = [], []
         for g in range(n_groups):
-            s, z = _find_params(w[:, g * gsize : (g + 1) * gsize], bits, sym)
+            s, z = _find_params(w[:, g * gsize : (g + 1) * gsize], bits, sym, mse)
             sg_scales.append(s)
             sg_zeros.append(z)
         sg_scales = jnp.stack(sg_scales, axis=1)  # [rows, n_groups]
@@ -130,7 +160,7 @@ def gptq_quantize(
     hinv = jnp.linalg.cholesky(hinv_full).T  # upper: Hinv = U^T U
 
     if groupsize == -1 and not static_groups:
-        init_scale, init_zero = _find_params(w, bits, sym)
+        init_scale, init_zero = _find_params(w, bits, sym, mse)
     else:
         init_scale = jnp.zeros((rows,))
         init_zero = jnp.zeros((rows,))
@@ -161,7 +191,7 @@ def gptq_quantize(
                 def refresh(_):
                     start = gcol  # gcol is a multiple of gsize at refresh
                     sl = jax.lax.dynamic_slice(w, (0, start), (rows, gsize))
-                    return _find_params(sl, bits, sym)
+                    return _find_params(sl, bits, sym, mse)
 
                 is_boundary = (gcol % gsize) == 0
                 scale, zero = jax.lax.cond(

@@ -115,6 +115,7 @@ def quantize_blocks_gptq(
                 bits=spec.bits, sym=spec.symmetric, groupsize=groupsize,
                 blocksize=gcfg.blocksize, percdamp=gcfg.percdamp,
                 actorder=gcfg.act_order, static_groups=gcfg.static_groups,
+                mse=gcfg.mse,
             )
             if pack and not (gcfg.act_order and groupsize != -1):
                 new_w: Any = gptq_result_to_qtensor(res, spec, k, n)

@@ -1,0 +1,76 @@
+"""Scan-over-layers forward must match the unrolled forward exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iron_weight_only_quant_tpu.config import KVCacheConfig, QuantSpec
+from iron_weight_only_quant_tpu.engine.kvcache import make_caches, make_stacked_caches
+from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward, llama_init
+from iron_weight_only_quant_tpu.models.llama import (
+    llama_forward_scan,
+    stack_llama_layers,
+)
+from iron_weight_only_quant_tpu.quantize.model_pass import quantize_model_params
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny()
+    params = llama_init(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.integers(0, 250, size=(2, 12)), jnp.int32)
+
+
+def test_full_forward_matches(model, tokens):
+    cfg, params = model
+    stacked = stack_llama_layers(params)
+    a, _ = llama_forward(params, tokens, cfg)
+    b, _ = llama_forward_scan(stacked, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_quantized_stacked(model, tokens):
+    cfg, params = model
+    qp, _ = quantize_model_params(
+        params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+    )
+    stacked = stack_llama_layers(qp)
+    a, _ = llama_forward(qp, tokens, cfg)
+    b, _ = llama_forward_scan(stacked, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cached_decode_matches(model, tokens):
+    cfg, params = model
+    stacked = stack_llama_layers(params)
+    kv = KVCacheConfig(max_seq_len=32)
+
+    caches_u = make_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv, jnp.float32)
+    caches_s = make_stacked_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv,
+                                   jnp.float32)
+    a, caches_u = llama_forward(params, tokens, cfg, caches=caches_u)
+    b, caches_s = llama_forward_scan(stacked, tokens, cfg, caches=caches_s)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # one decode step
+    nxt = jnp.argmax(a[:, -1:], axis=-1).astype(jnp.int32)
+    a2, _ = llama_forward(params, nxt, cfg, caches=caches_u)
+    b2, _ = llama_forward_scan(stacked, nxt, cfg, caches=caches_s)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+def test_quantized_kv_stacked(model, tokens):
+    cfg, params = model
+    stacked = stack_llama_layers(params)
+    kv = KVCacheConfig(max_seq_len=32, kv_bits=8, kv_group_size=16)
+    caches_s = make_stacked_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv)
+    logits, caches_s = llama_forward_scan(stacked, tokens, cfg, caches=caches_s)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert int(caches_s.length[0]) == 12
