@@ -20,7 +20,9 @@ from .packing import unpack_codes
 
 def packed_bits(qt: QuantizedTensor) -> int:
     b = qt.spec.storage_bits
-    return b if b in (2, 4, 8) else 8
+    if qt.mode == "lut":  # codebook indexing needs plain unsigned sub-byte
+        return b if b in (2, 4) else 8
+    return b if b in (2, 3, 4, 8) else 8
 
 
 def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
