@@ -46,8 +46,9 @@ def main(argv=None):
             qparams = quantize_model_gptq(
                 params, cfg, family, samples, spec,
                 GPTQConfig(nsamples=args.nsamples, percdamp=args.percdamp,
-                           act_order=args.act_order,
+                           act_order=args.act_order, mse=args.mse,
                            calib_dataset=args.calib_dataset),
+                true_sequential=args.true_sequential,
             )
             report = {"n_quantized": "gptq"}
         else:

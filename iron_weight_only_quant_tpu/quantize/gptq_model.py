@@ -71,16 +71,34 @@ def quantize_blocks_gptq(
     gcfg: GPTQConfig,
     pack: bool = True,
     progress: Optional[Callable[[str], None]] = None,
+    stage_order: Optional[List[List[str]]] = None,
 ) -> List[Dict[str, Any]]:
     """Core loop: quantize each block given streaming inputs.
 
     ``inputs``: per-sample activations entering block 0 (list of [1, S, H]).
     ``block_apply(x, params) -> x_out`` runs one block (mask/rope closed over).
+    ``stage_order``: when given (true-sequential mode, reference
+    gptq/llama.py:75-83), linears are quantized stage by stage, each stage's
+    Hessians collected with the *previous stages already quantized*.
     Returns new block param dicts with quantized weights.
     """
     if spec.fmt != "int":
         raise NotImplementedError("GPTQ supports int format only")  # quant_wrapper.py:24-25
     groupsize = spec.group_size if spec.group_size > 0 else -1
+
+    def solve(bp, name, h):
+        w = bp[name]["w"]  # [K, N]
+        k, n = w.shape
+        res = gptq_quantize(
+            w.T.astype(jnp.float32), h,
+            bits=spec.bits, sym=spec.symmetric, groupsize=groupsize,
+            blocksize=gcfg.blocksize, percdamp=gcfg.percdamp,
+            actorder=gcfg.act_order, static_groups=gcfg.static_groups,
+            mse=gcfg.mse,
+        )
+        if pack and not (gcfg.act_order and groupsize != -1):
+            return gptq_result_to_qtensor(res, spec, k, n)
+        return res.q.T.astype(w.dtype)  # fake-quant dense
 
     new_blocks = []
     xs = list(inputs)
@@ -89,42 +107,36 @@ def quantize_blocks_gptq(
             progress(f"GPTQ block {li + 1}/{len(blocks)}")
         bp_named = annotate_linears(bp)
         lin_names = [k for k, v in bp_named.items() if isinstance(v, dict) and "name" in v]
+        stages = [lin_names] if stage_order is None else [
+            [n for n in st if n in lin_names] for st in stage_order
+        ]
 
-        # pass 1: Hessians from original weights
-        hs: Dict[str, jnp.ndarray] = {}
-        ns: Dict[str, jnp.ndarray] = {}
-        for name in lin_names:
-            cdim = bp[name]["w"].shape[0]
-            hs[name] = jnp.zeros((cdim, cdim), jnp.float32)
-            ns[name] = jnp.asarray(0.0)
-
-        def record(name, x):
-            hs[name], ns[name] = hessian_update(hs[name], ns[name], x)
-
-        with recording_linears(record):
-            for x in xs:
-                block_apply(x, bp_named)
-
-        # solve per linear
         new_bp = dict(bp)
-        for name in lin_names:
-            w = bp[name]["w"]  # [K, N]
-            k, n = w.shape
-            res = gptq_quantize(
-                w.T.astype(jnp.float32), hs[name],
-                bits=spec.bits, sym=spec.symmetric, groupsize=groupsize,
-                blocksize=gcfg.blocksize, percdamp=gcfg.percdamp,
-                actorder=gcfg.act_order, static_groups=gcfg.static_groups,
-                mse=gcfg.mse,
-            )
-            if pack and not (gcfg.act_order and groupsize != -1):
-                new_w: Any = gptq_result_to_qtensor(res, spec, k, n)
-            else:
-                new_w = res.q.T.astype(w.dtype)  # fake-quant dense
-            new_bp[name] = {**bp[name], "w": new_w}
-            hs[name] = None  # free
+        for stage in stages:
+            if not stage:
+                continue
+            hs: Dict[str, jnp.ndarray] = {}
+            ns: Dict[str, jnp.ndarray] = {}
+            for name in stage:
+                cdim = bp[name]["w"].shape[0]
+                hs[name] = jnp.zeros((cdim, cdim), jnp.float32)
+                ns[name] = jnp.asarray(0.0)
 
-        # pass 2: next block's inputs from the quantized block
+            def record(name, x, _stage=tuple(stage)):
+                if name in _stage:
+                    hs[name], ns[name] = hessian_update(hs[name], ns[name], x)
+
+            # Hessians over the block with all previous stages quantized
+            current = annotate_linears(new_bp)
+            with recording_linears(record):
+                for x in xs:
+                    block_apply(x, current)
+
+            for name in stage:
+                new_bp[name] = {**bp[name], "w": solve(new_bp, name, hs[name])}
+                hs[name] = None  # free
+
+        # next block's inputs from the quantized block
         xs = [block_apply(x, new_bp) for x in xs]
         new_blocks.append(new_bp)
     return new_blocks
@@ -182,6 +194,13 @@ def _bloom_ctx(params, cfg, sample):
 
 _FAMILY_CTX = {"llama": _llama_ctx, "opt": _opt_ctx, "bloom": _bloom_ctx}
 
+# true-sequential intra-block quantization order (reference gptq/llama.py:75-83)
+_FAMILY_STAGES = {
+    "llama": [["k", "v", "q"], ["o"], ["up", "gate"], ["down"]],
+    "opt": [["k", "v", "q"], ["o"], ["fc1"], ["fc2"]],
+    "bloom": [["k", "v", "q"], ["o"], ["fc1"], ["fc2"]],
+}
+
 
 def quantize_model_gptq(
     params: Dict[str, Any],
@@ -192,6 +211,7 @@ def quantize_model_gptq(
     gcfg: GPTQConfig = GPTQConfig(),
     pack: bool = True,
     progress: Optional[Callable[[str], None]] = print,
+    true_sequential: bool = False,
 ) -> Dict[str, Any]:
     """Whole-model layer-sequential GPTQ; returns new params pytree."""
     ctx_fn = _FAMILY_CTX[family]
@@ -200,6 +220,7 @@ def quantize_model_gptq(
         x0, apply = ctx_fn(params, cfg, jnp.asarray(sample, jnp.int32))
         xs.append(x0)
     new_layers = quantize_blocks_gptq(
-        xs, params["layers"], apply, spec, gcfg, pack=pack, progress=progress
+        xs, params["layers"], apply, spec, gcfg, pack=pack, progress=progress,
+        stage_order=_FAMILY_STAGES[family] if true_sequential else None,
     )
     return {**params, "layers": new_layers}

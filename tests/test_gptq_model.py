@@ -78,3 +78,26 @@ class TestGPTQModel:
         l0 = qp["layers"][0]
         assert not isinstance(l0["q"]["w"], QuantizedTensor)
         assert l0["q"]["w"].shape == params["layers"][0]["q"]["w"].shape
+
+
+class TestTrueSequential:
+    def test_true_sequential_runs_and_helps(self, calib):
+        """true-sequential: each stage's Hessian sees prior stages quantized
+        (reference gptq/llama.py --true-sequential)."""
+        cfg = OPTConfig.tiny()
+        params = opt_init(cfg, jax.random.PRNGKey(3))
+        toks = jnp.asarray(np.concatenate(calib, axis=0), jnp.int32)
+        ref, _ = opt_forward(params, toks, cfg)
+        spec = QuantSpec(fmt="int", bits=3, group_size=-2, symmetric=False)
+
+        gp = quantize_model_gptq(params, cfg, "opt", calib, spec,
+                                 GPTQConfig(nsamples=4, blocksize=32),
+                                 progress=None)
+        gp_ts = quantize_model_gptq(params, cfg, "opt", calib, spec,
+                                    GPTQConfig(nsamples=4, blocksize=32),
+                                    progress=None, true_sequential=True)
+        err = _out_err(opt_forward(gp, toks, cfg)[0], ref)
+        err_ts = _out_err(opt_forward(gp_ts, toks, cfg)[0], ref)
+        # both must be finite and close; ts usually no worse
+        assert np.isfinite(err_ts)
+        assert err_ts < err * 1.5
