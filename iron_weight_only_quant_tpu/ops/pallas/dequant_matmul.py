@@ -72,13 +72,23 @@ def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
     zshift=8).  Per weight element only a mask + cast remain on the VPU; the
     per-element subtract/multiply of naive dequant made the kernel VPU-bound.
     """
+    int_path = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
     for r in range(rs):
         qg = codes[r * g : (r + 1) * g, :].astype(dtype)
         xg = x[:, r * g : (r + 1) * g]
-        part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        if int_path:
+            # W4A8 / W8A8: int8 x int8 MXU contraction at 2x bf16 rate
+            part = jnp.dot(xg, qg, preferred_element_type=jnp.int32).astype(
+                jnp.float32
+            )
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
+                jnp.float32
+            )
+        else:
+            part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         s = s_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
         z = z_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
-        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         acc = acc + part * (s * mult) - xsum * (s * (z - zshift))
     return acc
 
@@ -199,23 +209,43 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
     return tpk, rs, g_target
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
 def fused_quantized_matmul(
-    x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False
+    x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False,
+    activation_bits: Optional[int] = None,
 ) -> jnp.ndarray:
-    """``y = x @ dequant(qt)``; x: [..., K]."""
+    """``y = x @ dequant(qt)``; x: [..., K].
+
+    ``activation_bits=8`` enables the W4A8/W8A8 path: activations are
+    dynamically quantized per row (absmax int8) and the MXU runs int8 x int8
+    contractions at twice the bf16 rate; the per-row scale is applied to the
+    output.  Changes numerics (~0.3% activation quant error) -- opt-in.
+    """
     bits = qt.spec.storage_bits
     k, n = qt.shape
     orig_shape = x.shape
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
+    out_scale = None
+    if activation_bits == 8:
+        sx = jnp.clip(jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
+                              keepdims=True), 1e-8, None) / 127.0
+        x2 = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(
+            jnp.int8
+        )
+        out_scale = sx
+    elif activation_bits is not None:
+        raise NotImplementedError("activation_bits must be None or 8")
+
     tn = _pick_tn(n)
     tm = _pick_tm(m)
+    if activation_bits == 8:
+        tm = max(tm, 32)  # int8 min sublane tile
     m_pad = _ceil_to(m, tm)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    out_dtype = x.dtype
+    out_dtype = jnp.float32 if activation_bits == 8 else x.dtype
 
     rows = qt.scales.shape[0]
     kp = k // 2 if bits == 4 else k
@@ -272,4 +302,6 @@ def fused_quantized_matmul(
 
     if m_pad != m:
         out = out[:m]
+    if out_scale is not None:
+        out = (out * out_scale).astype(x.dtype)
     return out.reshape(orig_shape[:-1] + (n,))

@@ -49,6 +49,28 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     return w.astype(dtype)
 
 
+_DEFAULT_ACTIVATION_BITS: Optional[int] = None
+
+
+class activation_quant:
+    """Context manager enabling W4A8/W8A8 serving: fused kernels quantize
+    activations to int8 per row and run int8 MXU contractions."""
+
+    def __init__(self, bits: Optional[int] = 8):
+        self.bits = bits
+
+    def __enter__(self):
+        global _DEFAULT_ACTIVATION_BITS
+        self._prev = _DEFAULT_ACTIVATION_BITS
+        _DEFAULT_ACTIVATION_BITS = self.bits
+        return self
+
+    def __exit__(self, *exc):
+        global _DEFAULT_ACTIVATION_BITS
+        _DEFAULT_ACTIVATION_BITS = self._prev
+        return False
+
+
 def quantized_matmul(
     x: jnp.ndarray,
     qt: QuantizedTensor,
@@ -56,12 +78,17 @@ def quantized_matmul(
     *,
     use_pallas: Optional[bool] = None,
     accum_dtype=jnp.float32,
+    activation_bits: Optional[int] = None,
 ) -> jnp.ndarray:
     """``y = x @ dequant(qt) (+ bias)`` with fused-kernel dispatch.
 
     ``use_pallas=None`` auto-selects: the fused kernel runs on TPU for
     supported layouts (int4/int8 affine, 4/8-bit LUT), XLA otherwise.
+    ``activation_bits`` (or the ambient ``activation_quant`` context) enables
+    the int8-activation kernel path.
     """
+    if activation_bits is None:
+        activation_bits = _DEFAULT_ACTIVATION_BITS
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and _pallas_supported(qt)
@@ -69,7 +96,7 @@ def quantized_matmul(
     if use_pallas:
         from .pallas.dequant_matmul import fused_quantized_matmul
 
-        out = fused_quantized_matmul(x, qt)
+        out = fused_quantized_matmul(x, qt, activation_bits=activation_bits)
     else:
         w = dequantize_weight(qt, dtype=accum_dtype)
         out = jnp.dot(

@@ -67,3 +67,18 @@ def test_unsupported_shapes_rejected():
     w = jnp.asarray(rng.normal(size=(96, 100)).astype(np.float32))  # N !% 128
     qt = quantize_tensor(w, QuantSpec(fmt="int", bits=4, group_size=PER_CHANNEL))
     assert not kernel_supported(qt)
+
+
+@pytest.mark.parametrize("spec", [
+    QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False),
+    QuantSpec(fmt="int", bits=8, group_size=128, symmetric=True),
+])
+def test_w4a8_close_to_full_precision(weight, spec):
+    """int8-activation path: small extra error, same result structurally."""
+    rng = np.random.default_rng(9)
+    qt = quantize_tensor(weight, spec)
+    x = jnp.asarray(rng.normal(size=(4, 512)).astype(np.float32))
+    y_ref = np.asarray(x @ dequantize_weight(qt))
+    y = np.asarray(fused_quantized_matmul(x, qt, interpret=True, activation_bits=8))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 0.01, rel
