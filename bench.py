@@ -92,8 +92,17 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     fwd = llama_forward_scan if scan_layers else llama_forward
 
     def make_runner(steps):
+        # one fully-jitted program: prefill + decode scan.  An eager prefill
+        # costs ~30 s of per-op tunnel dispatch with multi-second variance,
+        # drowning the step-count slope entirely.
         @jax.jit
-        def run(params, tok0, caches):
+        def run(params, prompt):
+            mk = make_stacked_caches if scan_layers else make_caches
+            caches = mk(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
+                        KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
+            logits, caches = fwd(params, prompt, cfg, caches=caches)
+            tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+
             def step(carry, _):
                 tok, caches = carry
                 logits, caches = fwd(params, tok, cfg, caches=caches)
@@ -106,13 +115,8 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
         return run
 
     def run_once(runner):
-        mk = make_stacked_caches if scan_layers else make_caches
-        caches = mk(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
-                    KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
         prompt = jnp.ones((batch, 8), jnp.int32)
-        logits, caches = fwd(params, prompt, cfg, caches=caches)
-        tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-        out = runner(params, tok0, caches)
+        out = runner(params, prompt)
         return float(jnp.sum(out))  # force completion through the tunnel
 
     lo, hi = make_runner(t_lo), make_runner(t_hi)

@@ -1,9 +1,9 @@
 """Zero-shot task implementations.
 
-Covers the reference's task registry (gptq/zeroShot/tasks/__init__.py:18-32:
-lambada, piqa, arc_easy, arc_challenge, boolq, cb, copa, wic, multirc, rte,
-record, wsc, storycloze) with standard zero-shot prompt formats.  ``record``
-and ``multirc`` (span-extraction style) are not yet implemented.
+Covers the reference's full 13-task registry
+(gptq/zeroShot/tasks/__init__.py:18-32: lambada, piqa, arc_easy,
+arc_challenge, boolq, cb, copa, wic, multirc, rte, record, wsc, storycloze)
+with standard zero-shot prompt formats.
 
 Datasets load HF-hub/local-first at runtime; every task also accepts
 pre-loaded ``docs`` for offline use and testing.
@@ -183,6 +183,46 @@ class StoryCloze(_DocTask, MultipleChoiceTask):
         return int(doc["answer_right_ending"]) - 1
 
 
+class MultiRC(_DocTask, MultipleChoiceTask):
+    """Binary correctness judgment per (question, answer) candidate."""
+
+    name = "multirc"
+    dataset = ("super_glue", "multirc", "validation")
+
+    def context(self, doc):
+        return (
+            f"{doc['paragraph']}\nQuestion: {doc['question']}\n"
+            f"Answer: {doc['answer']}\nIs the answer correct?"
+        )
+
+    def choices(self, doc):
+        return [" no", " yes"]
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+
+class ReCoRD(_DocTask, Task):
+    """Cloze over entity candidates: score the query with @placeholder
+    substituted by each candidate; accuracy = argmax hits a gold answer."""
+
+    name = "record"
+    dataset = ("super_glue", "record", "validation")
+
+    def requests(self, doc):
+        passage = doc["passage"]
+        return [
+            Request(passage, "\n" + doc["query"].replace("@placeholder", ent))
+            for ent in doc["entities"]
+        ]
+
+    def process_results(self, doc, results):
+        lls = [r[0] for r in results]
+        best = max(range(len(lls)), key=lls.__getitem__)
+        correct = doc["entities"][best] in doc["answers"]
+        return {"acc": float(correct)}
+
+
 class Lambada(_DocTask, Task):
     """Last-word prediction: greedy accuracy + token perplexity."""
 
@@ -215,7 +255,7 @@ class Lambada(_DocTask, Task):
 TASK_REGISTRY = {
     t.name: t
     for t in (PIQA, ARCEasy, ARCChallenge, BoolQ, CB, COPA, RTE, WiC, WSC,
-              StoryCloze, Lambada)
+              StoryCloze, Lambada, MultiRC, ReCoRD)
 }
 
 

@@ -90,13 +90,30 @@ class TestTasks:
         assert "ppl" in res["lambada"] and res["lambada"]["ppl"] > 0
 
     def test_registry_covers_reference_tasks(self):
+        """All 13 tasks of the reference registry (zeroShot/tasks/__init__.py)."""
         from iron_weight_only_quant_tpu.evals.zeroshot import TASK_REGISTRY
 
         for name in ("piqa", "arc_easy", "arc_challenge", "boolq", "cb", "copa",
-                     "rte", "wic", "wsc", "storycloze", "lambada"):
+                     "rte", "wic", "wsc", "storycloze", "lambada", "multirc",
+                     "record"):
             assert name in TASK_REGISTRY
         with pytest.raises(ValueError):
             get_task("nope")
+
+    def test_multirc_and_record(self, lm):
+        multirc_docs = [{"paragraph": "cats are mammals", "question": "is a cat a mammal",
+                         "answer": "yes it is", "label": 1}]
+        record_docs = [{"passage": "Alice met Bob in Paris.",
+                        "query": "@placeholder traveled to Paris.",
+                        "entities": ["Alice", "Bob"], "answers": ["Alice"]}]
+        res = evaluate(
+            lm,
+            [get_task("multirc", docs=multirc_docs),
+             get_task("record", docs=record_docs)],
+            ToyTokenizer(),
+        )
+        assert 0.0 <= res["multirc"]["acc"] <= 1.0
+        assert 0.0 <= res["record"]["acc"] <= 1.0
 
     def test_perfect_model_scores_100(self, lm, model):
         """A task whose gold continuation is the model's own greedy output."""
