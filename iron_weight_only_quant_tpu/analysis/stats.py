@@ -23,13 +23,13 @@ import numpy as np
 
 from ..config import FloatFormat
 from ..models.common import recording_linears
-from ..ops.packing import unpack_codes
+from ..ops.packing import unpack_codes_sharded
 from ..ops.qmatmul import packed_bits
 from ..quantize.qtensor import QuantizedTensor
 
 
 def _logical_codes(qt: QuantizedTensor) -> np.ndarray:
-    codes = np.asarray(unpack_codes(qt.qweight, packed_bits(qt), qt.k))
+    codes = np.asarray(unpack_codes_sharded(qt.qweight, packed_bits(qt), qt.k, qt.k_shards))
     if packed_bits(qt) == 8:
         codes = codes + 128  # stored shifted (packing.py)
     return codes

@@ -117,3 +117,38 @@ def unpack_codes(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
 def signed_to_unsigned_offset(bits: int) -> int:
     """Offset added to symmetric (signed) codes for unsigned storage."""
     return 1 << (bits - 1)
+
+
+def pack_codes_sharded(codes: jnp.ndarray, bits: int, k_shards: int) -> jnp.ndarray:
+    """Pack with pairing confined to each of ``k_shards`` K segments.
+
+    Slicing the result at packed-segment boundaries yields arrays identical
+    to packing each segment alone -- the layout contract that lets
+    row-parallel tensor sharding hand every device a self-contained shard.
+    """
+    if k_shards <= 1:
+        return pack_codes(codes, bits)
+    k = codes.shape[0]
+    if k % k_shards != 0:
+        raise ValueError(f"K={k} not divisible by k_shards={k_shards}")
+    seg = k // k_shards
+    return jnp.concatenate(
+        [pack_codes(codes[i * seg : (i + 1) * seg], bits) for i in range(k_shards)],
+        axis=0,
+    )
+
+
+def unpack_codes_sharded(
+    packed: jnp.ndarray, bits: int, k: int, k_shards: int
+) -> jnp.ndarray:
+    if k_shards <= 1:
+        return unpack_codes(packed, bits, k)
+    seg_k = k // k_shards
+    seg_p = packed.shape[0] // k_shards
+    return jnp.concatenate(
+        [
+            unpack_codes(packed[i * seg_p : (i + 1) * seg_p], bits, seg_k)
+            for i in range(k_shards)
+        ],
+        axis=0,
+    )

@@ -143,6 +143,8 @@ def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
 def kernel_supported(qt: QuantizedTensor) -> bool:
     if qt.mode != "affine" or qt.spec.fmt not in ("int", "bfp"):
         return False
+    if qt.k_shards > 1:
+        return False  # global view of a row-sharded artifact: XLA path
     bits = qt.spec.storage_bits
     if bits not in (4, 8):
         return False

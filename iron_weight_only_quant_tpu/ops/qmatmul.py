@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quantize.qtensor import QuantizedTensor
-from .packing import unpack_codes
+from .packing import unpack_codes_sharded
 
 
 def packed_bits(qt: QuantizedTensor) -> int:
@@ -27,7 +27,7 @@ def packed_bits(qt: QuantizedTensor) -> int:
 
 def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Packed artifact -> dense ``[K, N]`` weight (the XLA reference path)."""
-    codes = unpack_codes(qt.qweight, packed_bits(qt), qt.k)
+    codes = unpack_codes_sharded(qt.qweight, packed_bits(qt), qt.k, qt.k_shards)
     k = qt.k
     scales = qt.scales.astype(jnp.float32)
     # broadcast per-group side info over K: [K/G, N] -> [K, N]

@@ -56,6 +56,7 @@ def save_artifact(path: str, family: str, cfg, params: Dict[str, Any]) -> None:
                 "spec": _spec_to_dict(node.spec),
                 "shape": list(node.shape),
                 "mode": node.mode,
+                "k_shards": node.k_shards,
                 "has_zeros": node.zeros is not None,
                 "has_codebook": node.codebook is not None,
             }
@@ -152,6 +153,7 @@ def load_artifact(path: str, dtype=None) -> Tuple[str, Any, Dict[str, Any]]:
                 spec,
                 tuple(info["shape"]),
                 info["mode"],
+                info.get("k_shards", 1),
             )
             assign(key, qt)
         else:

@@ -41,6 +41,10 @@ class QuantizedTensor:
     spec: QuantSpec = struct.field(pytree_node=False)
     shape: Tuple[int, int] = struct.field(pytree_node=False)  # (K, N) logical
     mode: str = struct.field(pytree_node=False)  # "affine" | "lut"
+    # K-dim packing segmentation: sub-byte codes are paired within each of
+    # k_shards contiguous K segments, so slicing the packed array at segment
+    # boundaries yields self-contained shards (row-parallel TP via shard_map).
+    k_shards: int = struct.field(pytree_node=False, default=1)
 
     @property
     def k(self) -> int:

@@ -13,7 +13,7 @@ from ..config import PER_CHANNEL, PER_TENSOR, QuantSpec
 from ..formats import make_groups, quantize_groups
 from ..formats.api import _align_kind
 from ..formats.minifloat import minifloat_codebook
-from ..ops.packing import pack_codes, packing_for_bits, signed_to_unsigned_offset
+from ..ops.packing import pack_codes_sharded, packing_for_bits, signed_to_unsigned_offset
 from .qtensor import QuantizedTensor
 
 
@@ -31,8 +31,14 @@ def _kernel_layout(per_group_col: jnp.ndarray, k: int, n: int, group_size: int) 
     return per_group_col.reshape(n, kg).T
 
 
-def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
-    """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path)."""
+def quantize_tensor(
+    w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1
+) -> QuantizedTensor:
+    """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path).
+
+    ``k_shards > 1`` confines sub-byte packing to each of that many K
+    segments so the artifact can be row-parallel sharded (see packing.py).
+    """
     if spec.quant_axis != 0:
         raise NotImplementedError("packed artifacts require quant_axis=0")
     if spec.fmt == "fp4_e1m2":
@@ -65,8 +71,9 @@ def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
             # shifting the zero-point keeps (code - zero) invariant
             codes = codes - 128
             zeros = zeros - 128.0
-        qweight = pack_codes(codes, spec.bits)
-        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
+        qweight = pack_codes_sharded(codes, spec.bits, k_shards)
+        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
+                               k_shards)
 
     if spec.fmt == "bfp":
         codes = codes_to_kernel(enc.codes)
@@ -82,8 +89,9 @@ def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
         frac = target_mant_bits - 1
         scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
         scales = _kernel_layout(scales_g, k, n, spec.group_size)
-        qweight = pack_codes(codes, spec.bits)
-        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine")
+        qweight = pack_codes_sharded(codes, spec.bits, k_shards)
+        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
+                               k_shards)
 
     # minifloat: LUT mode
     fmt = spec.float_format
@@ -97,5 +105,6 @@ def quantize_tensor(w: jnp.ndarray, spec: QuantSpec) -> QuantizedTensor:
     store_bits = fmt.total_bits if fmt.total_bits in (2, 4) else 8
     if store_bits == 8:
         codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
-    qweight = pack_codes(codes, store_bits)
-    return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut")
+    qweight = pack_codes_sharded(codes, store_bits, k_shards)
+    return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut",
+                           k_shards)
