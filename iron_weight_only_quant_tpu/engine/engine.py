@@ -134,17 +134,29 @@ class InferenceEngine:
             )
 
         pads_j = jnp.asarray(pads, jnp.int32)
-        # positions: 0 for pads (masked anyway), j - pad for real tokens
-        positions = jnp.clip(jnp.arange(L)[None, :] - pads_j[:, None], 0, None)
         cols = jnp.arange(t_max)
-        prefill_mask = (
-            (cols[None, None, None, :] <= jnp.arange(L)[None, None, :, None])
-            & (cols[None, None, None, :] >= pads_j[:, None, None, None])
-        )
-        logits, caches = _prefill(
-            self.params, jnp.asarray(toks), positions, prefill_mask, caches,
-            self.forward, self.cfg,
-        )
+
+        # chunked prefill: bounded program size/memory for long prompts
+        # (engine_cfg.prefill_chunk); every chunk runs the same jitted program
+        chunk = max(1, self.engine_cfg.prefill_chunk)
+        start = 0
+        logits = None
+        toks_j = jnp.asarray(toks)
+        while start < L:
+            end = min(start + chunk, L)
+            positions = jnp.clip(
+                jnp.arange(start, end)[None, :] - pads_j[:, None], 0, None
+            )
+            mask = (
+                (cols[None, None, None, :]
+                 <= jnp.arange(start, end)[None, None, :, None])
+                & (cols[None, None, None, :] >= pads_j[:, None, None, None])
+            )
+            logits, caches = _prefill(
+                self.params, toks_j[:, start:end], positions, mask, caches,
+                self.forward, self.cfg,
+            )
+            start = end
 
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)

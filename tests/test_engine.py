@@ -139,3 +139,16 @@ class TestShardedEngine:
         out8 = eng8.generate(prompts, max_new_tokens=5)
         out1 = eng1.generate(prompts, max_new_tokens=5)
         assert out8 == out1
+
+
+class TestChunkedPrefill:
+    def test_chunked_matches_unchunked(self, tiny_model):
+        cfg, params = tiny_model
+        prompts = [[1, 7, 3, 9, 2, 11, 4], [5, 2, 8, 8, 1]]
+        eng_full = _engine(cfg, params)
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64), max_batch_size=4,
+                            prefill_chunk=3)
+        eng_chunk = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg)
+        a = eng_full.generate(prompts, max_new_tokens=5)
+        b = eng_chunk.generate(prompts, max_new_tokens=5)
+        assert a == b
