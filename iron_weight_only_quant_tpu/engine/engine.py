@@ -72,6 +72,7 @@ class InferenceEngine:
         eos_token: int = -1,
         pad_token: int = 0,
         dtype=jnp.float32,
+        tp_block: bool = False,
     ):
         self.cfg = cfg
         self.forward = forward
@@ -86,6 +87,21 @@ class InferenceEngine:
             self.mesh = make_mesh(engine_cfg.mesh)
             specs = param_specs(family, params)
             self.params = apply_sharding(params, specs, self.mesh)
+            if tp_block:
+                # explicit shard_map megatron forward: fused kernels run per
+                # shard (GSPMD cannot partition pallas_call)
+                if family != "llama":
+                    raise NotImplementedError("tp_block supports llama")
+                from ..parallel.tp_block import make_tp_llama_forward
+
+                tp_fwd = make_tp_llama_forward(cfg, self.mesh)
+
+                def forward_wrap(params, tokens, _cfg, caches=None,
+                                 positions=None, attn_mask=None):
+                    return tp_fwd(params, tokens, caches=caches,
+                                  positions=positions, attn_mask=attn_mask)
+
+                self.forward = forward_wrap
         else:
             self.params = params
 

@@ -1,0 +1,96 @@
+"""Block-level shard_map TP: whole-model forward on the virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iron_weight_only_quant_tpu.config import KVCacheConfig, MeshConfig, QuantSpec
+from iron_weight_only_quant_tpu.engine.kvcache import make_caches
+from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward, llama_init
+from iron_weight_only_quant_tpu.parallel import make_mesh
+from iron_weight_only_quant_tpu.parallel.tp_block import (
+    make_tp_llama_forward,
+    shard_llama_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(cpu_devices):
+    cfg = LlamaConfig.tiny()  # 4 heads, 2 kv heads, inter 128: divisible by 2
+    params = llama_init(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(MeshConfig(data=1, model=2))
+    spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+    qparams = shard_llama_params(params, cfg, spec, d=2)
+    return cfg, params, qparams, mesh
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.integers(0, 250, size=(2, 10)), jnp.int32)
+
+
+def test_full_forward_matches_reference(setup, tokens):
+    """shard_map TP forward must equal the single-device quantized forward."""
+    cfg, params, qparams, mesh = setup
+    tp_fwd = make_tp_llama_forward(cfg, mesh)
+    logits_tp, _ = tp_fwd(qparams, tokens)
+    logits_ref, _ = llama_forward(qparams, tokens, cfg)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_cached_decode_matches(setup, tokens):
+    cfg, params, qparams, mesh = setup
+    tp_fwd = make_tp_llama_forward(cfg, mesh)
+    kv = KVCacheConfig(max_seq_len=32)
+    caches = make_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv, jnp.float32)
+    caches_ref = make_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv,
+                             jnp.float32)
+
+    lt, caches = tp_fwd(qparams, tokens, caches=caches)
+    lr, caches_ref = llama_forward(qparams, tokens, cfg, caches=caches_ref)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(lr), rtol=2e-5, atol=2e-4)
+
+    nxt = jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
+    lt2, _ = tp_fwd(qparams, nxt, caches=caches)
+    lr2, _ = llama_forward(qparams, nxt, cfg, caches=caches_ref)
+    np.testing.assert_allclose(np.asarray(lt2), np.asarray(lr2), rtol=2e-5, atol=2e-4)
+
+
+def test_row_parallel_artifacts_have_k_shards(setup):
+    cfg, params, qparams, mesh = setup
+    l0 = qparams["layers"][0]
+    assert l0["o"]["w"].k_shards == 2
+    assert l0["down"]["w"].k_shards == 2
+    assert l0["q"]["w"].k_shards == 1
+
+
+def test_indivisible_heads_rejected(setup):
+    cfg, *_ = setup
+    import dataclasses
+
+    bad = dataclasses.replace(cfg, num_kv_heads=3)
+    mesh = make_mesh(MeshConfig(data=1, model=2))
+    with pytest.raises(ValueError):
+        make_tp_llama_forward(bad, mesh)
+
+
+def test_engine_with_tp_block(setup):
+    """Engine running the shard_map forward matches the GSPMD engine."""
+    from iron_weight_only_quant_tpu.config import EngineConfig
+    from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+    cfg, params, qparams, mesh = setup
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=48),
+                        mesh=MeshConfig(data=1, model=2), max_batch_size=2)
+    eng_tp = InferenceEngine(qparams, cfg, llama_forward, family="llama",
+                             engine_cfg=ecfg, tp_block=True)
+    eng_gspmd = InferenceEngine(qparams, cfg, llama_forward, family="llama",
+                                engine_cfg=ecfg)
+    prompts = [[5, 2, 8], [1, 7, 3, 9]]
+    assert eng_tp.generate(prompts, max_new_tokens=4) == \
+        eng_gspmd.generate(prompts, max_new_tokens=4)
