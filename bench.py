@@ -44,7 +44,7 @@ def build_quantized_llama(cfg, key, spec, dtype):
             fn_cache[(kin, kout)] = jax.jit(
                 lambda kk, _kin=kin, _kout=kout: quantize_tensor(
                     jax.random.normal(kk, (_kin, _kout), jnp.float32) * (_kin**-0.5),
-                    spec,
+                    spec, pad_n_to=512,
                 )
             )
         return {"w": fn_cache[(kin, kout)](k), "b": None}

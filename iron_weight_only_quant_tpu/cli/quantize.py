@@ -22,6 +22,9 @@ def main(argv=None):
     add_model_args(ap)
     add_quant_args(ap)
     ap.add_argument("--out", required=True, help="output artifact dir")
+    ap.add_argument("--pad_n", type=int, default=1,
+                    help="pad stored output dims to this multiple (512 gives "
+                         "the fused kernel full-width tiles on shapes like 11008)")
     args = ap.parse_args(argv)
 
     family, cfg, params, _fwd = load_model(args)
@@ -52,9 +55,14 @@ def main(argv=None):
             )
             report = {"n_quantized": "gptq"}
         else:
-            from ..quantize.model_pass import quantize_model_params
+            from functools import partial
 
-            qparams, report = quantize_model_params(params, spec)
+            from ..quantize.model_pass import quantize_model_params
+            from ..quantize.rtn import quantize_tensor as _qt
+
+            qfn = (lambda w, path: _qt(w, spec, pad_n_to=args.pad_n)) \
+                if args.pad_n > 1 else None
+            qparams, report = quantize_model_params(params, spec, quantize_fn=qfn)
 
         from ..quantize.artifact import save_artifact
 

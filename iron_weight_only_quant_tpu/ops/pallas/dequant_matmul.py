@@ -149,6 +149,7 @@ def kernel_supported(qt: QuantizedTensor) -> bool:
     if bits not in (4, 8):
         return False
     k, n = qt.shape
+    n = n + qt.n_pad
     if _pick_tn(n) is None:
         return False
     kp = k // 2 if bits == 4 else k
@@ -224,7 +225,8 @@ def fused_quantized_matmul(
     output.  Changes numerics (~0.3% activation quant error) -- opt-in.
     """
     bits = qt.spec.storage_bits
-    k, n = qt.shape
+    k, n_logical = qt.shape
+    n = n_logical + qt.n_pad  # stored width
     orig_shape = x.shape
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
@@ -304,6 +306,8 @@ def fused_quantized_matmul(
 
     if m_pad != m:
         out = out[:m]
+    if qt.n_pad:
+        out = out[:, :n_logical]
     if out_scale is not None:
         out = (out * out_scale).astype(x.dtype)
-    return out.reshape(orig_shape[:-1] + (n,))
+    return out.reshape(orig_shape[:-1] + (n_logical,))

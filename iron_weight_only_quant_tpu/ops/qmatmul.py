@@ -46,6 +46,8 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
         w = qt.codebook[codes] * expand(scales)
         if qt.zeros is not None:
             w = w + expand(qt.zeros.astype(jnp.float32))
+    if qt.n_pad:
+        w = w[:, : qt.n]
     return w.astype(dtype)
 
 

@@ -79,7 +79,7 @@ def _qt_spec(qt: QuantizedTensor, row: bool) -> Dict[str, Any]:
         w, side(qt.scales),
         side(qt.zeros) if qt.zeros is not None else None,
         P() if qt.codebook is not None else None,
-        qt.spec, qt.shape, qt.mode, qt.k_shards,
+        qt.spec, qt.shape, qt.mode, qt.k_shards, qt.n_pad,
     )
 
 
@@ -107,10 +107,10 @@ def _local_view(lin, d: int, row: bool):
     k, n = w.shape
     if row:
         local = QuantizedTensor(w.qweight, w.scales, w.zeros, w.codebook,
-                                w.spec, (k // d, n), w.mode, 1)
+                                w.spec, (k // d, n), w.mode, 1, w.n_pad)
     else:
         local = QuantizedTensor(w.qweight, w.scales, w.zeros, w.codebook,
-                                w.spec, (k, n // d), w.mode, 1)
+                                w.spec, (k, n // d), w.mode, 1, w.n_pad)
     return {**lin, "w": local}
 
 

@@ -57,6 +57,7 @@ def save_artifact(path: str, family: str, cfg, params: Dict[str, Any]) -> None:
                 "shape": list(node.shape),
                 "mode": node.mode,
                 "k_shards": node.k_shards,
+                "n_pad": node.n_pad,
                 "has_zeros": node.zeros is not None,
                 "has_codebook": node.codebook is not None,
             }
@@ -154,6 +155,7 @@ def load_artifact(path: str, dtype=None) -> Tuple[str, Any, Dict[str, Any]]:
                 tuple(info["shape"]),
                 info["mode"],
                 info.get("k_shards", 1),
+                info.get("n_pad", 0),
             )
             assign(key, qt)
         else:

@@ -45,6 +45,10 @@ class QuantizedTensor:
     # k_shards contiguous K segments, so slicing the packed array at segment
     # boundaries yields self-contained shards (row-parallel TP via shard_map).
     k_shards: int = struct.field(pytree_node=False, default=1)
+    # zero-padding of the N dim in storage (awkward widths like 11008 padded
+    # to a 512-multiple so the fused kernel gets full-width tiles); ``shape``
+    # stays logical, consumers slice the padded columns off
+    n_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def k(self) -> int:

@@ -32,12 +32,14 @@ def _kernel_layout(per_group_col: jnp.ndarray, k: int, n: int, group_size: int) 
 
 
 def quantize_tensor(
-    w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1
+    w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1, pad_n_to: int = 1
 ) -> QuantizedTensor:
     """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path).
 
     ``k_shards > 1`` confines sub-byte packing to each of that many K
     segments so the artifact can be row-parallel sharded (see packing.py).
+    ``pad_n_to`` zero-pads stored output columns to that multiple so the
+    fused kernel always gets full-width tiles (``shape`` stays logical).
     """
     if spec.quant_axis != 0:
         raise NotImplementedError("packed artifacts require quant_axis=0")
@@ -50,12 +52,17 @@ def quantize_tensor(
         )
 
     k, n = w.shape
+    n_pad = 0
+    if pad_n_to > 1 and n % pad_n_to != 0:
+        n_pad = pad_n_to - n % pad_n_to
+        w = jnp.pad(w, ((0, 0), (0, n_pad)))
+    n_stored = n + n_pad
     groups = make_groups(w.astype(jnp.float32), spec.group_size, 0)
     enc = quantize_groups(groups, spec)
 
     def codes_to_kernel(codes: jnp.ndarray) -> jnp.ndarray:
         # grouped codes -> [K, N] kernel orientation
-        return codes.reshape(n, k).T
+        return codes.reshape(n_stored, k).T
 
     if spec.fmt == "int":
         codes = codes_to_kernel(enc.codes)
@@ -64,8 +71,8 @@ def quantize_tensor(
             codes = codes + off
             zeros = jnp.full((1, 1), float(off), jnp.float32)
         else:
-            zeros = _kernel_layout(enc.zeros, k, n, spec.group_size)
-        scales = _kernel_layout(enc.scales, k, n, spec.group_size)
+            zeros = _kernel_layout(enc.zeros, k, n_stored, spec.group_size)
+        scales = _kernel_layout(enc.scales, k, n_stored, spec.group_size)
         if packing_for_bits(spec.bits)[0] == "byte":
             # byte layouts store two's-complement code-128 (see packing.py);
             # shifting the zero-point keeps (code - zero) invariant
@@ -73,7 +80,7 @@ def quantize_tensor(
             zeros = zeros - 128.0
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
         return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
-                               k_shards)
+                               k_shards, n_pad)
 
     if spec.fmt == "bfp":
         codes = codes_to_kernel(enc.codes)
@@ -88,23 +95,23 @@ def quantize_tensor(
         target_mant_bits = min(spec.bits - 1, 11)
         frac = target_mant_bits - 1
         scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
-        scales = _kernel_layout(scales_g, k, n, spec.group_size)
+        scales = _kernel_layout(scales_g, k, n_stored, spec.group_size)
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
         return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
-                               k_shards)
+                               k_shards, n_pad)
 
     # minifloat: LUT mode
     fmt = spec.float_format
     align = spec.effective_align(_align_kind(fmt)) if spec.approximate else None
     book = jnp.asarray(minifloat_codebook(fmt, align))
     codes = codes_to_kernel(enc.codes)
-    scales = _kernel_layout(enc.scales, k, n, spec.group_size)
+    scales = _kernel_layout(enc.scales, k, n_stored, spec.group_size)
     zeros = (
-        _kernel_layout(enc.zeros, k, n, spec.group_size) if enc.zeros is not None else None
+        _kernel_layout(enc.zeros, k, n_stored, spec.group_size) if enc.zeros is not None else None
     )
     store_bits = fmt.total_bits if fmt.total_bits in (2, 4) else 8
     if store_bits == 8:
         codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
     qweight = pack_codes_sharded(codes, store_bits, k_shards)
     return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut",
-                           k_shards)
+                           k_shards, n_pad)

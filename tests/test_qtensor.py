@@ -108,3 +108,36 @@ class TestQuantizedTensor:
             quantize_tensor(
                 weight, QuantSpec(fmt="int", bits=4, group_size=64, quant_axis=1)
             )
+
+
+class TestNPadding:
+    def test_padded_matches_oracle(self, weight, rng):
+        # N=192 padded to 512-multiple -> n_pad=320
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight, spec, pad_n_to=512)
+        assert qt.n_pad == 512 - 192
+        deq = dequantize_weight(qt)
+        assert deq.shape == weight.shape
+        np.testing.assert_array_equal(np.asarray(deq),
+                                      np.asarray(fake_quantize(weight, spec)))
+        x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+        y = quantized_matmul(x, qt, use_pallas=False)
+        y_ref = x @ deq
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_padded_kernel_interpret(self, weight, rng):
+        from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+            fused_quantized_matmul,
+            kernel_supported,
+        )
+
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=True)
+        qt = quantize_tensor(weight, spec, pad_n_to=512)
+        assert kernel_supported(qt)
+        x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+        y = fused_quantized_matmul(x, qt, interpret=True)
+        assert y.shape == (4, 192)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(x @ dequantize_weight(qt)),
+                                   rtol=2e-5, atol=2e-4)
