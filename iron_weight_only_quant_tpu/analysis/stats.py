@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import FloatFormat

@@ -55,8 +55,6 @@ def main(argv=None):
             )
             report = {"n_quantized": "gptq"}
         else:
-            from functools import partial
-
             from ..quantize.model_pass import quantize_model_params
             from ..quantize.rtn import quantize_tensor as _qt
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 # Group-size sentinels (same convention as the reference CLI:
 # reference main.py:155 "--w_group_size ... -1: per-tensor, -2: per-channel").

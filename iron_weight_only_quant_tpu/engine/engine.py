@@ -16,7 +16,6 @@ token-by-token decode with HF past_key_values) with a real engine:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence
 

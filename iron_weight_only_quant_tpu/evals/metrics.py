@@ -7,7 +7,7 @@ f1/matthews helpers used by the SuperGLUE-style tasks.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

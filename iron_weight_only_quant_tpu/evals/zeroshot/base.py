@@ -9,7 +9,7 @@ and aggregate with bootstrap stderr.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterable, List, Sequence, Tuple
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
 from .. import metrics as M
 from ..lm import EvalLM

@@ -22,7 +22,6 @@ from .common import (
     causal_mask,
     layernorm,
     linear,
-    update_kv_cache,
 )
 
 

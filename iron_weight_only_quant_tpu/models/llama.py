@@ -21,7 +21,6 @@ from .common import (
     linear,
     rmsnorm,
     rope_tables,
-    update_kv_cache,
 )
 
 

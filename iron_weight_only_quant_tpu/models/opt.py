@@ -20,7 +20,6 @@ from .common import (
     causal_mask,
     layernorm,
     linear,
-    update_kv_cache,
 )
 
 POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset

@@ -14,7 +14,7 @@ axis size (prepare with :func:`shard_llama_params`).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
