@@ -141,6 +141,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: remote compiles through the axon tunnel
+    # take minutes; cached runs complete in ~2-3 min
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from iron_weight_only_quant_tpu.config import QuantSpec
