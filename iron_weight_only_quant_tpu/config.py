@@ -217,6 +217,8 @@ class EngineConfig:
     max_batch_size: int = 8
     prefill_chunk: int = 512
     activation_dtype: str = "bfloat16"
+    # 8 enables W4A8/W8A8 serving (int8 MXU path, ~0.3% act-quant error)
+    activation_bits: Optional[int] = None
 
 
 def replace(cfg, **kw):

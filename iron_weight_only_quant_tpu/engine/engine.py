@@ -39,21 +39,28 @@ def sample_tokens(logits: jnp.ndarray, rng, temperature: float, top_k: int = 0):
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("forward", "cfg"))
-def _prefill(params, tokens, positions, mask, caches, forward, cfg):
-    logits, caches = forward(
-        params, tokens, cfg, caches=caches, positions=positions, attn_mask=mask
-    )
+@partial(jax.jit, static_argnames=("forward", "cfg", "abits"))
+def _prefill(params, tokens, positions, mask, caches, forward, cfg, abits=None):
+    from ..ops.qmatmul import activation_quant
+
+    with activation_quant(abits):
+        logits, caches = forward(
+            params, tokens, cfg, caches=caches, positions=positions, attn_mask=mask
+        )
     return logits[:, -1], caches
 
 
-@partial(jax.jit, static_argnames=("forward", "cfg", "temperature", "top_k"),
+@partial(jax.jit,
+         static_argnames=("forward", "cfg", "temperature", "top_k", "abits"),
          donate_argnames=("caches",))
 def _decode_step(params, tok, positions, mask, caches, rng, forward, cfg,
-                 temperature, top_k):
-    logits, caches = forward(
-        params, tok, cfg, caches=caches, positions=positions, attn_mask=mask
-    )
+                 temperature, top_k, abits=None):
+    from ..ops.qmatmul import activation_quant
+
+    with activation_quant(abits):
+        logits, caches = forward(
+            params, tok, cfg, caches=caches, positions=positions, attn_mask=mask
+        )
     nxt = sample_tokens(logits[:, -1], rng, temperature, top_k)
     return nxt, caches
 
@@ -169,7 +176,7 @@ class InferenceEngine:
             )
             logits, caches = _prefill(
                 self.params, toks_j[:, start:end], positions, mask, caches,
-                self.forward, self.cfg,
+                self.forward, self.cfg, self.engine_cfg.activation_bits,
             )
             start = end
 
@@ -192,6 +199,7 @@ class InferenceEngine:
             next_tok, caches = _decode_step(
                 self.params, next_tok[:, None], positions, mask, caches, sub,
                 self.forward, self.cfg, temperature, top_k,
+                self.engine_cfg.activation_bits,
             )
             cur += 1
             toks_np = np.asarray(next_tok)
@@ -270,6 +278,7 @@ class InferenceEngine:
             next_tok, caches = _decode_step(
                 self.params, toks, positions, mask, caches, sub,
                 self.forward, self.cfg, temperature, top_k,
+                self.engine_cfg.activation_bits,
             )
             cur += 1
             sampled = np.asarray(next_tok)

@@ -87,7 +87,8 @@ def quantized_matmul(
     ``use_pallas=None`` auto-selects: the fused kernel runs on TPU for
     supported layouts (int4/int8 affine, 4/8-bit LUT), XLA otherwise.
     ``activation_bits`` (or the ambient ``activation_quant`` context) enables
-    the int8-activation kernel path.
+    the int8-activation kernel path; it applies to the fused TPU kernel only
+    (the XLA fallback stays full-precision).
     """
     if activation_bits is None:
         activation_bits = _DEFAULT_ACTIVATION_BITS
