@@ -173,3 +173,34 @@ if __name__ == "__main__":
     gen_fp4_cpu()
     gen_gptq()
     print("done")
+
+
+def gen_custom_align():
+    """Extra cases: custom alignment params incl. negative tail_pad_bits."""
+    import quant_linear as ql
+
+    torch.manual_seed(4)
+    w = torch.randn(64, 256, dtype=torch.float32) * 0.05
+    cases = {}
+
+    def run(key, **kw):
+        lin = torch.nn.Linear(256, 64, bias=False)
+        lin.weight.data = w.clone()
+        q = ql.QuantLinear.from_linear(lin, **kw)
+        cases[key] = q.weight.data.numpy()
+
+    run("fp8_approx_custom", w_bit=8, w_group_size=128, weight_format="fp8",
+        approximate=True, fp8_hi_align_start=10, fp8_hi_align_exp_field=14,
+        fp8_tail_pad_bits=2)
+    run("fp8_approx_negpad", w_bit=8, w_group_size=128, weight_format="fp8",
+        approximate=True, fp8_hi_align_start=12, fp8_hi_align_exp_field=15,
+        fp8_tail_pad_bits=-1)
+    run("fp6_dapprox_negpad", w_bit=6, w_group_size=64, weight_format="fp6",
+        approximate=True, double_approximate=True, fp6_hi_align_start=3,
+        fp6_hi_align_exp_field=6, fp6_tail_pad_bits=-1)
+    np.savez_compressed(OUT / "quant_linear_custom.npz", input=w.numpy(), **cases)
+    print("quant_linear_custom.npz", len(cases), "cases")
+
+
+if __name__ == "__main__":
+    gen_custom_align()

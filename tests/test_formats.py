@@ -240,3 +240,33 @@ class TestGrouping:
         np.testing.assert_array_equal(
             np.asarray(g), [[0, 2], [4, 6], [1, 3], [5, 7]]
         )
+
+
+class TestCustomAlignGolden:
+    """Custom alignment windows incl. negative tail_pad_bits (mantissa
+    pre-truncation) vs reference-generated fixtures."""
+
+    def test_cases(self):
+        data = np.load(GOLDEN / "quant_linear_custom.npz")
+        w = jnp.asarray(data["input"]).T
+        cases = {
+            "fp8_approx_custom": fp_spec(
+                "fp8", 4, 3, group_size=128, approximate=True,
+                align=AlignSpec(hi_align_start=10, hi_align_exp_field=14,
+                                tail_pad_bits=2),
+            ),
+            "fp8_approx_negpad": fp_spec(
+                "fp8", 4, 3, group_size=128, approximate=True,
+                align=AlignSpec(hi_align_start=12, hi_align_exp_field=15,
+                                tail_pad_bits=-1),
+            ),
+            "fp6_dapprox_negpad": fp_spec(
+                "fp6", 3, 2, group_size=64, approximate=True,
+                double_approximate=True,
+                align=AlignSpec(hi_align_start=3, hi_align_exp_field=6,
+                                tail_pad_bits=-1),
+            ),
+        }
+        for key, spec in cases.items():
+            ours = np.asarray(fake_quantize(w, spec)).T
+            assert_matches_golden(ours, data[key], key)
