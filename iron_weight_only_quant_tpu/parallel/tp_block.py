@@ -39,16 +39,24 @@ from ..quantize.qtensor import QuantizedTensor
 from ..quantize.rtn import quantize_tensor
 
 
-def shard_llama_params(
-    params: Dict[str, Any], cfg, spec, d: int
-) -> Dict[str, Any]:
-    """Quantize a dense LLaMA pytree with TP-aware packing.
+# per family: (column-parallel keys, row-parallel keys)
+_FAMILY_LINEARS = {
+    "llama": (("q", "k", "v", "gate", "up"), ("o", "down")),
+    "opt": (("q", "k", "v", "fc1"), ("o", "fc2")),
+    "bloom": (("q", "k", "v", "fc1"), ("o", "fc2")),
+}
 
-    Column-parallel linears (q/k/v/gate/up, lm_head) pack normally (their N
-    sharding never splits nibble pairs); row-parallel linears (o/down) pack
-    with ``k_shards=d`` so each device slice is self-contained.
+
+def shard_model_params(
+    params: Dict[str, Any], cfg, spec, d: int, family: str = "llama"
+) -> Dict[str, Any]:
+    """Quantize a dense pytree with TP-aware packing.
+
+    Column-parallel linears pack normally (their N sharding never splits
+    nibble pairs); row-parallel linears pack with ``k_shards=d`` so each
+    device slice is self-contained.
     """
-    row_keys = {"o", "down"}
+    col_keys, row_keys = _FAMILY_LINEARS[family]
 
     def qlin(key, lin):
         w = lin["w"]
@@ -61,10 +69,14 @@ def shard_llama_params(
     layers = []
     for b in params["layers"]:
         nb = dict(b)
-        for key in ("q", "k", "v", "o", "gate", "up", "down"):
+        for key in col_keys + row_keys:
             nb[key] = qlin(key, b[key])
         layers.append(nb)
     return {**params, "layers": layers}
+
+
+def shard_llama_params(params, cfg, spec, d):
+    return shard_model_params(params, cfg, spec, d, "llama")
 
 
 def _qt_spec(qt: QuantizedTensor, row: bool) -> Dict[str, Any]:
@@ -221,5 +233,234 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
             return logits_part, new_caches
 
         return run(params, tokens, caches, cos, sin, mask)
+
+    return forward
+
+
+# -------------------------------------------------------- OPT / BLOOM blocks
+
+def _rep_spec(node):
+    """Replicated spec tree matching an arbitrary param subtree."""
+    if isinstance(node, dict):
+        return {k: _rep_spec(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_rep_spec(v) for v in node]
+    if node is None:
+        return None
+    return P()
+
+
+def _layer_specs(params, row_keys):
+    out = []
+    for p in params["layers"]:
+        sp = {}
+        for key, v in p.items():
+            is_linear = isinstance(v, dict) and "w" in v and (
+                isinstance(v["w"], QuantizedTensor) or getattr(v["w"], "ndim", 0) == 2
+            )
+            sp[key] = _linear_specs(v, row=key in row_keys) if is_linear \
+                else _rep_spec(v)
+        out.append(sp)
+    return out
+
+
+def _row_linear_psum(x, lin, d, axis):
+    """Row-parallel linear: matmul per shard, psum, then bias once."""
+    part = linear(x, {**_local_view(lin, d, row=True), "b": None})
+    out = jax.lax.psum(part, axis)
+    b = lin.get("b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def make_tp_opt_forward(cfg, mesh: Mesh, axis: str = "model"):
+    """OPT counterpart of :func:`make_tp_llama_forward` (pre/post-LN)."""
+    from ..models.common import layernorm
+    from ..models.opt import POS_OFFSET
+
+    d = mesh.shape[axis]
+    if cfg.num_heads % d:
+        raise ValueError(f"num_heads must divide {axis}={d}")
+    hd = cfg.hd
+    h_loc = cfg.num_heads // d
+
+    def block_local(x, p, mask, cache):
+        b, s, h = x.shape
+        residual = x
+        if cfg.do_layer_norm_before:
+            x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"],
+                          cfg.layer_norm_eps)
+        q = linear(x, _local_view(p["q"], d, row=False)).reshape(b, s, h_loc, hd)
+        k = linear(x, _local_view(p["k"], d, row=False)).reshape(b, s, h_loc, hd)
+        v = linear(x, _local_view(p["v"], d, row=False)).reshape(b, s, h_loc, hd)
+        if cache is not None:
+            from ..engine.kvcache import update_and_fetch
+
+            cache, k, v = update_and_fetch(cache, k, v)
+        attn = attend(q, k, v, mask)
+        x = residual + _row_linear_psum(attn.reshape(b, s, h_loc * hd), p["o"],
+                                        d, axis)
+        if not cfg.do_layer_norm_before:
+            x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"],
+                          cfg.layer_norm_eps)
+        residual = x
+        if cfg.do_layer_norm_before:
+            x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"],
+                          cfg.layer_norm_eps)
+        x = jax.nn.relu(linear(x, _local_view(p["fc1"], d, row=False)))
+        x = residual + _row_linear_psum(x, p["fc2"], d, axis)
+        if not cfg.do_layer_norm_before:
+            x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"],
+                          cfg.layer_norm_eps)
+        return x, cache
+
+    def forward(params, tokens, caches=None, positions=None, attn_mask=None):
+        b, s = tokens.shape
+        if caches is None:
+            if positions is None:
+                positions = jnp.arange(s)
+            mask = causal_mask(s) if attn_mask is None else attn_mask
+        else:
+            start = caches[0].length
+            if positions is None:
+                positions = start + jnp.arange(s)
+            if attn_mask is None:
+                from ..engine.kvcache import cache_max_len
+
+                t_max = cache_max_len(caches[0])
+                cols = jnp.arange(t_max)[None, :]
+                qpos = positions if positions.ndim == 1 else positions[0]
+                mask = (cols <= qpos[:, None])[None, None]
+            else:
+                mask = attn_mask
+
+        param_specs_tree = {
+            "embed": P(), "embed_pos": P(),
+            "layers": _layer_specs(params, row_keys={"o", "fc2"}),
+        }
+        if "final_norm" in params:
+            param_specs_tree["final_norm"] = _rep_spec(params["final_norm"])
+        cache_spec = (
+            [KVCacheView(P(None, None, axis, None), P(None, None, axis, None), P())
+             for _ in caches]
+            if caches is not None else None
+        )
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(param_specs_tree, P(), cache_spec, P(), P()),
+            out_specs=(P(), cache_spec),
+        )
+        def run(params, tokens, caches, positions, mask):
+            x = params["embed"][tokens] + params["embed_pos"][positions + POS_OFFSET]
+            new_caches = [] if caches is not None else None
+            for i, p in enumerate(params["layers"]):
+                cache_i = caches[i] if caches is not None else None
+                x, cache_i = block_local(x, p, mask, cache_i)
+                if new_caches is not None:
+                    new_caches.append(cache_i)
+            if cfg.do_layer_norm_before and "final_norm" in params:
+                x = layernorm(x, params["final_norm"]["w"],
+                              params["final_norm"]["b"], cfg.layer_norm_eps)
+            logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+            return logits, new_caches
+
+        return run(params, tokens, caches, positions, mask)
+
+    return forward
+
+
+def make_tp_bloom_forward(cfg, mesh: Mesh, axis: str = "model"):
+    """BLOOM counterpart: ALiBi slopes sliced per head shard."""
+    from ..models.common import alibi_slopes, layernorm
+
+    d = mesh.shape[axis]
+    if cfg.num_heads % d:
+        raise ValueError(f"num_heads must divide {axis}={d}")
+    hd = cfg.hd
+    h_loc = cfg.num_heads // d
+    slopes_full = alibi_slopes(cfg.num_heads)  # [H], replicated constant
+
+    def block_local(x, p, mask, bias, cache):
+        b, s, h = x.shape
+        residual = x
+        x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"],
+                      cfg.layer_norm_eps)
+        q = linear(x, _local_view(p["q"], d, row=False)).reshape(b, s, h_loc, hd)
+        k = linear(x, _local_view(p["k"], d, row=False)).reshape(b, s, h_loc, hd)
+        v = linear(x, _local_view(p["v"], d, row=False)).reshape(b, s, h_loc, hd)
+        if cache is not None:
+            from ..engine.kvcache import update_and_fetch
+
+            cache, k, v = update_and_fetch(cache, k, v)
+        attn = attend(q, k, v, mask, bias=bias)
+        x = residual + _row_linear_psum(attn.reshape(b, s, h_loc * hd), p["o"],
+                                        d, axis)
+        residual = x
+        x = layernorm(x, p["post_norm"]["w"], p["post_norm"]["b"],
+                      cfg.layer_norm_eps)
+        x = jax.nn.gelu(linear(x, _local_view(p["fc1"], d, row=False))
+                        .astype(jnp.float32), approximate=True).astype(residual.dtype)
+        x = residual + _row_linear_psum(x, p["fc2"], d, axis)
+        return x, cache
+
+    def forward(params, tokens, caches=None, positions=None, attn_mask=None):
+        b, s = tokens.shape
+        if caches is None:
+            mask = causal_mask(s) if attn_mask is None else attn_mask
+            t = s
+        else:
+            from ..engine.kvcache import cache_max_len
+
+            start = caches[0].length
+            t = cache_max_len(caches[0])
+            if attn_mask is None:
+                qpos = (start + jnp.arange(s)) if positions is None else positions
+                mask = (jnp.arange(t)[None, :] <= qpos[:, None])[None, None]
+            else:
+                mask = attn_mask
+
+        param_specs_tree = {
+            "embed": P(), "embed_norm": _rep_spec(params["embed_norm"]),
+            "layers": _layer_specs(params, row_keys={"o", "fc2"}),
+            "final_norm": _rep_spec(params["final_norm"]),
+        }
+        cache_spec = (
+            [KVCacheView(P(None, None, axis, None), P(None, None, axis, None), P())
+             for _ in caches]
+            if caches is not None else None
+        )
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(param_specs_tree, P(), cache_spec, P()),
+            out_specs=(P(), cache_spec),
+        )
+        def run(params, tokens, caches, mask):
+            from ..models.common import layernorm as ln
+
+            # local ALiBi bias: this shard's head slice of the slope vector
+            shard = jax.lax.axis_index(axis)
+            slopes_loc = jax.lax.dynamic_slice(slopes_full, (shard * h_loc,),
+                                               (h_loc,))
+            bias = (slopes_loc[:, None, None]
+                    * jnp.arange(t, dtype=jnp.float32)[None, None, :])[None]
+
+            x = params["embed"][tokens]
+            x = ln(x, params["embed_norm"]["w"], params["embed_norm"]["b"],
+                   cfg.layer_norm_eps)
+            new_caches = [] if caches is not None else None
+            for i, p in enumerate(params["layers"]):
+                cache_i = caches[i] if caches is not None else None
+                x, cache_i = block_local(x, p, mask, bias, cache_i)
+                if new_caches is not None:
+                    new_caches.append(cache_i)
+            x = ln(x, params["final_norm"]["w"], params["final_norm"]["b"],
+                   cfg.layer_norm_eps)
+            logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+            return logits, new_caches
+
+        return run(params, tokens, caches, mask)
 
     return forward

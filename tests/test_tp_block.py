@@ -94,3 +94,47 @@ def test_engine_with_tp_block(setup):
     prompts = [[5, 2, 8], [1, 7, 3, 9]]
     assert eng_tp.generate(prompts, max_new_tokens=4) == \
         eng_gspmd.generate(prompts, max_new_tokens=4)
+
+
+class TestOtherFamilies:
+    def test_opt_tp_block_matches(self, cpu_devices):
+        from iron_weight_only_quant_tpu.models import OPTConfig, opt_forward, opt_init
+        from iron_weight_only_quant_tpu.parallel.tp_block import (
+            make_tp_opt_forward,
+            shard_model_params,
+        )
+
+        cfg = OPTConfig.tiny()
+        params = opt_init(cfg, jax.random.PRNGKey(2))
+        mesh = make_mesh(MeshConfig(data=1, model=2))
+        spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        qp = shard_model_params(params, cfg, spec, d=2, family="opt")
+        rng = np.random.default_rng(1)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 9)), jnp.int32)
+        tp_fwd = make_tp_opt_forward(cfg, mesh)
+        a, _ = tp_fwd(qp, toks)
+        b, _ = opt_forward(qp, toks, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+    def test_bloom_tp_block_matches(self, cpu_devices):
+        from iron_weight_only_quant_tpu.models import (
+            BloomConfig,
+            bloom_forward,
+            bloom_init,
+        )
+        from iron_weight_only_quant_tpu.parallel.tp_block import (
+            make_tp_bloom_forward,
+            shard_model_params,
+        )
+
+        cfg = BloomConfig.tiny()
+        params = bloom_init(cfg, jax.random.PRNGKey(3))
+        mesh = make_mesh(MeshConfig(data=1, model=2))
+        spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        qp = shard_model_params(params, cfg, spec, d=2, family="bloom")
+        rng = np.random.default_rng(2)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 7)), jnp.int32)
+        tp_fwd = make_tp_bloom_forward(cfg, mesh)
+        a, _ = tp_fwd(qp, toks)
+        b, _ = bloom_forward(qp, toks, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
