@@ -96,11 +96,14 @@ class InferenceEngine:
             if tp_block:
                 # explicit shard_map megatron forward: fused kernels run per
                 # shard (GSPMD cannot partition pallas_call)
-                if family != "llama":
-                    raise NotImplementedError("tp_block supports llama")
-                from ..parallel.tp_block import make_tp_llama_forward
+                from ..parallel import tp_block as tpb
 
-                tp_fwd = make_tp_llama_forward(cfg, self.mesh)
+                builders = {
+                    "llama": tpb.make_tp_llama_forward,
+                    "opt": tpb.make_tp_opt_forward,
+                    "bloom": tpb.make_tp_bloom_forward,
+                }
+                tp_fwd = builders[family](cfg, self.mesh)
 
                 def forward_wrap(params, tokens, _cfg, caches=None,
                                  positions=None, attn_mask=None):

@@ -138,3 +138,23 @@ class TestOtherFamilies:
         a, _ = tp_fwd(qp, toks)
         b, _ = bloom_forward(qp, toks, cfg)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+    def test_engine_tp_block_opt(self, cpu_devices):
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+        from iron_weight_only_quant_tpu.models import OPTConfig, opt_forward, opt_init
+        from iron_weight_only_quant_tpu.parallel.tp_block import shard_model_params
+
+        cfg = OPTConfig.tiny()
+        params = opt_init(cfg, jax.random.PRNGKey(5))
+        spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        qp = shard_model_params(params, cfg, spec, d=2, family="opt")
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=48),
+                            mesh=MeshConfig(data=1, model=2), max_batch_size=2)
+        e_tp = InferenceEngine(qp, cfg, opt_forward, family="opt",
+                               engine_cfg=ecfg, tp_block=True)
+        e_ref = InferenceEngine(qp, cfg, opt_forward, family="opt",
+                                engine_cfg=ecfg)
+        prompts = [[3, 9, 4], [7, 2]]
+        assert e_tp.generate(prompts, max_new_tokens=3) == \
+            e_ref.generate(prompts, max_new_tokens=3)
