@@ -122,9 +122,17 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     lo, hi = make_runner(t_lo), make_runner(t_hi)
     run_once(lo)  # compile
     run_once(hi)
-    ts_lo = min(_timed(run_once, lo) for _ in range(2))
-    ts_hi = min(_timed(run_once, hi) for _ in range(2))
-    return max((ts_hi - ts_lo) / (t_hi - t_lo), 1e-9)
+    # slope with a noise guard: retry with more repetitions if the measured
+    # slope is non-positive (dispatch jitter can exceed small model deltas)
+    for reps in (2, 4, 6):
+        ts_lo = min(_timed(run_once, lo) for _ in range(reps))
+        ts_hi = min(_timed(run_once, hi) for _ in range(reps))
+        slope = (ts_hi - ts_lo) / (t_hi - t_lo)
+        if slope > 0:
+            return slope
+    print(f"warning: non-positive timing slope ({slope:.2e}); "
+          "falling back to total/steps upper bound", file=sys.stderr)
+    return ts_hi / t_hi
 
 
 def _timed(f, *a):
