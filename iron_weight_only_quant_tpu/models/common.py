@@ -37,13 +37,42 @@ class recording_linears:
         return False
 
 
-def linear(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+class StackedLinear:
+    """Lazy view of one layer's linear inside a layer-stacked param pytree.
+
+    Constructed *inside* traced scan bodies (never crosses a jit boundary):
+    holds the whole stacked param dict plus a traced layer index, so
+    :func:`linear` can route quantized weights to the scalar-prefetch fused
+    kernel without ever materializing the layer's weights in HBM.
+    """
+
+    __slots__ = ("p", "idx")
+
+    def __init__(self, p: Dict[str, Any], idx):
+        self.p = p
+        self.idx = idx
+
+
+def linear(x: jnp.ndarray, p: Any) -> jnp.ndarray:
     """Apply a linear layer whose weight is dense ``[K, N]`` or quantized.
 
     This is the single seam where quantization enters the model -- the
     functional counterpart of the reference's module surgery that swaps
-    ``nn.Linear`` for ``QuantLinear`` (quant_wrapper.py:52-80).
+    ``nn.Linear`` for ``QuantLinear`` (quant_wrapper.py:52-80).  Accepts a
+    plain param dict or a :class:`StackedLinear` view (scan-over-layers).
     """
+    if isinstance(p, StackedLinear):
+        from ..ops.qmatmul import quantized_matmul_stacked
+
+        w, b = p.p["w"], p.p.get("b")
+        if b is not None:
+            b = b[p.idx]
+        if isinstance(w, QuantizedTensor):
+            return quantized_matmul_stacked(x, w, p.idx, bias=b)
+        y = jnp.dot(x, w[p.idx].astype(x.dtype), preferred_element_type=x.dtype)
+        if b is not None:
+            y = y + b.astype(x.dtype)
+        return y
     if _LINEAR_RECORDER is not None and "name" in p:
         _LINEAR_RECORDER(p["name"], x)
     w, b = p["w"], p.get("b")

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .common import (
     KVCacheView,
+    StackedLinear,
     apply_rope,
     attend,
     causal_mask,
@@ -225,20 +226,36 @@ def llama_forward_scan(
 
     cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta, cfg.condense_ratio)
 
+    stacked = params["layers_stacked"]
+    n_layers = stacked["input_norm"].shape[0]
+
+    def layer_view(l):
+        # weights stay put in HBM: linears become StackedLinear views that the
+        # fused kernel indexes via scalar prefetch; per-layer vectors (norms)
+        # are dynamically indexed (cheap).  Scanning the stacked weights as
+        # scan xs instead would HBM-copy every layer's weights every step.
+        lp = {}
+        for name, v in stacked.items():
+            if isinstance(v, dict) and "w" in v:
+                lp[name] = StackedLinear(v, l)
+            else:
+                lp[name] = v[l]
+        return lp
+
     if caches is None:
-        def body(x, lp):
-            x, _ = _block(x, lp, cfg, cos, sin, mask, None)
+        def body(x, l):
+            x, _ = _block(x, layer_view(l), cfg, cos, sin, mask, None)
             return x, None
 
-        x, _ = jax.lax.scan(body, x, params["layers_stacked"])
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
         new_caches = None
     else:
         def body(x, inputs):
-            lp, cache_l = inputs
-            x, cache_l = _block(x, lp, cfg, cos, sin, mask, cache_l)
+            l, cache_l = inputs
+            x, cache_l = _block(x, layer_view(l), cfg, cos, sin, mask, cache_l)
             return x, cache_l
 
-        x, new_caches = jax.lax.scan(body, x, (params["layers_stacked"], caches))
+        x, new_caches = jax.lax.scan(body, x, (jnp.arange(n_layers), caches))
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

@@ -56,7 +56,7 @@ def _pick_tm(m: int) -> int:
     return 256
 
 
-def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
+def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
                  mult: float = 1.0, zshift: float = 0.0):
     """Accumulate one K-slab's contribution with scales in the epilogue.
 
@@ -71,6 +71,10 @@ def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
     is stored so that its int8 view reads ``16 q - 128`` -> mult=1/16,
     zshift=8).  Per weight element only a mask + cast remain on the VPU; the
     per-element subtract/multiply of naive dequant made the kernel VPU-bound.
+
+    ``load_sz(r)`` loads the (scale, zero) rows for group-row ``r`` of this
+    K-slab (kept as a callback so stacked [L, rows, N] side-info refs can be
+    indexed the same way as flat [rows, N] ones).
     """
     int_path = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
     for r in range(rs):
@@ -87,10 +91,15 @@ def _group_accum(acc, x, codes, s_ref, z_ref, srow, rs: int, g: int, dtype,
         else:
             part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
             xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        s = s_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
-        z = z_ref[pl.ds(srow + r, 1), :].astype(jnp.float32)
+        s, z = load_sz(r)
+        s = s.astype(jnp.float32)
+        z = z.astype(jnp.float32)
         acc = acc + part * (s * mult) - xsum * (s * (z - zshift))
     return acc
+
+
+def _flat_sz(s_ref, z_ref, srow):
+    return lambda r: (s_ref[pl.ds(srow + r, 1), :], z_ref[pl.ds(srow + r, 1), :])
 
 
 def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
@@ -110,9 +119,10 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
     dtype = x_lo_ref.dtype
 
     acc = acc_ref[:]
-    acc = _group_accum(acc, x_lo_ref[:], lo, s_ref, z_ref, kk * rs, rs, g, dtype)
-    acc = _group_accum(acc, x_hi_ref[:], hi, s_ref, z_ref, (nk + kk) * rs, rs, g,
-                       dtype, mult=1.0 / 16.0, zshift=8.0)
+    acc = _group_accum(acc, x_lo_ref[:], lo, _flat_sz(s_ref, z_ref, kk * rs),
+                       rs, g, dtype)
+    acc = _group_accum(acc, x_hi_ref[:], hi, _flat_sz(s_ref, z_ref, (nk + kk) * rs),
+                       rs, g, dtype, mult=1.0 / 16.0, zshift=8.0)
     acc_ref[:] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -132,7 +142,8 @@ def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
     codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
     g = qw_ref.shape[0] // rs
     acc_ref[:] = _group_accum(
-        acc_ref[:], x_ref[:], codes, s_ref, z_ref, kk * rs, rs, g, x_ref.dtype
+        acc_ref[:], x_ref[:], codes, _flat_sz(s_ref, z_ref, kk * rs), rs, g,
+        x_ref.dtype,
     )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -140,7 +151,7 @@ def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def kernel_supported(qt: QuantizedTensor) -> bool:
+def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
     if qt.mode != "affine" or qt.spec.fmt not in ("int", "bfp"):
         return False
     if qt.k_shards > 1:
@@ -155,7 +166,6 @@ def kernel_supported(qt: QuantizedTensor) -> bool:
     kp = k // 2 if bits == 4 else k
     if kp % 128 != 0:
         return False
-    rows = qt.scales.shape[0]
     if rows > 1:
         g = k // rows
         if g < 32:
@@ -168,17 +178,33 @@ def kernel_supported(qt: QuantizedTensor) -> bool:
     return True
 
 
-def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int) -> jnp.ndarray:
-    """scales/zeros of any stored granularity -> [K/g_target, N] f32."""
+def kernel_supported(qt: QuantizedTensor) -> bool:
+    return qt.qweight.ndim == 2 and _layout_supported(qt, qt.scales.shape[0])
+
+
+def kernel_supported_stacked(qt: QuantizedTensor) -> bool:
+    """Supported-check for a layer-stacked artifact ([L, ...] arrays)."""
+    return qt.qweight.ndim == 3 and _layout_supported(qt, qt.scales.shape[1])
+
+
+def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int,
+                    axis: int = 0) -> jnp.ndarray:
+    """scales/zeros of any stored granularity -> [K/g_target, N] f32.
+
+    ``axis=1`` handles layer-stacked side info ``[L, rows, N]``.
+    """
     rows = k // g_target
     side = side.astype(jnp.float32)
-    if side.shape == (rows, n):
+    if side.shape[axis] == rows and side.shape[-1] == n:
         return side
-    if side.shape[0] == 1:
-        return jnp.broadcast_to(side, (rows, n))
-    g_have = k // side.shape[0]
+    if side.shape[axis] == 1:
+        tgt = list(side.shape)
+        tgt[axis] = rows
+        tgt[-1] = n
+        return jnp.broadcast_to(side, tuple(tgt))
+    g_have = k // side.shape[axis]
     if g_have % g_target == 0:
-        return jnp.repeat(side, g_have // g_target, axis=0)
+        return jnp.repeat(side, g_have // g_target, axis=axis)
     raise ValueError(f"incompatible group layout {side.shape} for K={k}")
 
 
@@ -212,6 +238,67 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
     return tpk, rs, g_target
 
 
+def _prep_x(x: jnp.ndarray, k: int, activation_bits: Optional[int]):
+    """Flatten x to [M, K], optionally int8-row-quantize, pad M to a tile."""
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    out_scale = None
+    if activation_bits == 8:
+        sx = jnp.clip(jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
+                              keepdims=True), 1e-8, None) / 127.0
+        x2 = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(
+            jnp.int8
+        )
+        out_scale = sx
+    elif activation_bits is not None:
+        raise NotImplementedError("activation_bits must be None or 8")
+
+    tm = _pick_tm(m)
+    if activation_bits == 8:
+        tm = max(tm, 32)  # int8 min sublane tile
+    m_pad = _ceil_to(m, tm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    out_dtype = jnp.float32 if activation_bits == 8 else x.dtype
+    return x2, m, m_pad, tm, out_dtype, out_scale
+
+
+def _finish(out, x, qt, m, m_pad, out_scale):
+    n_logical = qt.shape[1]
+    if m_pad != m:
+        out = out[:m]
+    if qt.n_pad:
+        out = out[:, :n_logical]
+    if out_scale is not None:
+        out = (out * out_scale).astype(x.dtype)
+    return out.reshape(x.shape[:-1] + (n_logical,))
+
+
+def _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret,
+                   index_prefix: int = 0):
+    """Shared pallas_call kwargs.  ``index_prefix=1`` for scalar-prefetch
+    variants whose index maps take the layer ref as a trailing arg."""
+    if index_prefix:
+        out_spec = pl.BlockSpec((tm, tn), lambda i, j, kk, l: (i, j))
+    else:
+        out_spec = pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j))
+    return dict(
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=kp * n + m_pad * k * 2 + m_pad * n * 2 + srows * n * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
 def fused_quantized_matmul(
     x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False,
@@ -227,29 +314,8 @@ def fused_quantized_matmul(
     bits = qt.spec.storage_bits
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
-    orig_shape = x.shape
-    x2 = x.reshape(-1, k)
-    m = x2.shape[0]
-
-    out_scale = None
-    if activation_bits == 8:
-        sx = jnp.clip(jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
-                              keepdims=True), 1e-8, None) / 127.0
-        x2 = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx), -127, 127).astype(
-            jnp.int8
-        )
-        out_scale = sx
-    elif activation_bits is not None:
-        raise NotImplementedError("activation_bits must be None or 8")
-
+    x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
     tn = _pick_tn(n)
-    tm = _pick_tm(m)
-    if activation_bits == 8:
-        tm = max(tm, 32)  # int8 min sublane tile
-    m_pad = _ceil_to(m, tm)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    out_dtype = jnp.float32 if activation_bits == 8 else x.dtype
 
     rows = qt.scales.shape[0]
     kp = k // 2 if bits == 4 else k
@@ -260,20 +326,7 @@ def fused_quantized_matmul(
     srows = scales.shape[0]
 
     grid = (m_pad // tm, n // tn, nk)
-    common = dict(
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n,
-            bytes_accessed=kp * n + m_pad * k * 2 + m_pad * n * 2 + srows * n * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
+    common = _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret)
     side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
 
     if bits == 4:
@@ -304,10 +357,132 @@ def fused_quantized_matmul(
             **common,
         )(x2, qt.qweight, scales, zeros)
 
-    if m_pad != m:
-        out = out[:m]
-    if qt.n_pad:
-        out = out[:, :n_logical]
-    if out_scale is not None:
-        out = (out * out_scale).astype(x.dtype)
-    return out.reshape(orig_shape[:-1] + (n_logical,))
+    return _finish(out, x, qt, m, m_pad, out_scale)
+
+
+# --------------------------------------------- layer-stacked (scan) variant
+
+def _stacked_sz(s_ref, z_ref, srow):
+    # side-info blocks carry a leading singleton layer dim: [1, srows, tn]
+    return lambda r: (s_ref[0, pl.ds(srow + r, 1), :],
+                      z_ref[0, pl.ds(srow + r, 1), :])
+
+
+def _int4_kernel_stacked(l_ref, x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref,
+                         o_ref, acc_ref, *, rs: int, nk: int, out_dtype):
+    del l_ref  # consumed by the index maps only
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kk = pl.program_id(2)
+    qw = qw_ref[0]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
+    lo = (qw & 0xF).astype(jnp.int8)
+    hi = qw_i8 & jnp.int8(-16)
+    g = qw.shape[0] // rs
+    dtype = x_lo_ref.dtype
+
+    acc = acc_ref[:]
+    acc = _group_accum(acc, x_lo_ref[:], lo, _stacked_sz(s_ref, z_ref, kk * rs),
+                       rs, g, dtype)
+    acc = _group_accum(acc, x_hi_ref[:], hi,
+                       _stacked_sz(s_ref, z_ref, (nk + kk) * rs),
+                       rs, g, dtype, mult=1.0 / 16.0, zshift=8.0)
+    acc_ref[:] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _int8_kernel_stacked(l_ref, x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                         *, rs: int, out_dtype):
+    del l_ref
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kk = pl.program_id(2)
+    codes = jax.lax.bitcast_convert_type(qw_ref[0], jnp.int8)
+    g = codes.shape[0] // rs
+    acc_ref[:] = _group_accum(
+        acc_ref[:], x_ref[:], codes, _stacked_sz(s_ref, z_ref, kk * rs), rs, g,
+        x_ref.dtype,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
+def fused_quantized_matmul_stacked(
+    x: jnp.ndarray, qt: QuantizedTensor, layer_idx: jnp.ndarray,
+    interpret: bool = False, activation_bits: Optional[int] = None,
+) -> jnp.ndarray:
+    """``y = x @ dequant(qt[layer_idx])`` for a layer-stacked artifact.
+
+    ``qt``'s arrays carry a leading layer axis ([L, K/2, N] packed weights).
+    The layer index is a *scalar-prefetch* argument: the kernel's BlockSpec
+    index maps read it to DMA only the selected layer's tiles out of HBM.
+    This is what makes ``lax.scan`` over layers run at unrolled-decode speed:
+    no HBM->HBM copy of the layer's weights ever happens (NOTES.md measured
+    that copy roughly doubling decode latency), while compile time stays
+    depth-independent.  TPU-native replacement for the reference's per-layer
+    module dispatch (gptq/quant.py:186-200 runs one CUDA kernel per layer
+    module; here one kernel serves all layers of a weight-stationary scan).
+    """
+    bits = qt.spec.storage_bits
+    k, n_logical = qt.shape
+    n = n_logical + qt.n_pad
+    x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
+    tn = _pick_tn(n)
+
+    rows = qt.scales.shape[1]
+    kp = k // 2 if bits == 4 else k
+    tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs=2 if bits == 4 else 1)
+    nk = kp // tpk
+    scales = _normalize_side(qt.scales, k, n, g_target, axis=1)
+    zeros = _normalize_side(qt.zeros, k, n, g_target, axis=1)
+    srows = scales.shape[1]
+
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    grid = (m_pad // tm, n // tn, nk)
+    common = _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype,
+                            interpret, index_prefix=1)
+    side_spec = pl.BlockSpec((1, srows, tn), lambda i, j, kk, l: (l[0], 0, j))
+
+    if bits == 4:
+        kernel = functools.partial(_int4_kernel_stacked, rs=rs, nk=nk,
+                                   out_dtype=out_dtype)
+        in_specs = [
+            pl.BlockSpec((tm, tpk), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((tm, tpk), lambda i, j, kk, l, _nk=nk: (i, _nk + kk)),
+            pl.BlockSpec((1, tpk, tn), lambda i, j, kk, l: (l[0], kk, j)),
+            side_spec,
+            side_spec,
+        ]
+        operands = (x2, x2, qt.qweight, scales, zeros)
+    else:
+        kernel = functools.partial(_int8_kernel_stacked, rs=rs,
+                                   out_dtype=out_dtype)
+        in_specs = [
+            pl.BlockSpec((tm, tpk), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((1, tpk, tn), lambda i, j, kk, l: (l[0], kk, j)),
+            side_spec,
+            side_spec,
+        ]
+        operands = (x2, qt.qweight, scales, zeros)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=common.pop("out_specs"),
+        scratch_shapes=common.pop("scratch_shapes"),
+    )
+    out = pl.pallas_call(kernel, grid_spec=grid_spec, **common)(lidx, *operands)
+    return _finish(out, x, qt, m, m_pad, out_scale)

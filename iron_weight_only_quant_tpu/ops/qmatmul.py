@@ -114,3 +114,53 @@ def _pallas_supported(qt: QuantizedTensor) -> bool:
     from .pallas.dequant_matmul import kernel_supported
 
     return kernel_supported(qt)
+
+
+def index_stacked(qt: QuantizedTensor, layer_idx) -> QuantizedTensor:
+    """Dynamic-index one layer out of a layer-stacked artifact (XLA path).
+
+    This materializes the layer's packed arrays (an HBM copy) -- it is the
+    fallback when the scalar-prefetch kernel cannot run.
+    """
+    return jax.tree.map(lambda a: a[layer_idx], qt)
+
+
+def quantized_matmul_stacked(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    layer_idx,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+    accum_dtype=jnp.float32,
+    activation_bits: Optional[int] = None,
+) -> jnp.ndarray:
+    """``y = x @ dequant(qt[layer_idx]) (+ bias)`` for layer-stacked artifacts.
+
+    Used by scan-over-layers forwards: on TPU the fused kernel DMAs only the
+    selected layer's tiles (scalar-prefetch index maps), so scanning costs the
+    same HBM traffic as the unrolled forward.  Elsewhere it falls back to
+    dynamic-indexing the layer out (one packed-weight copy per call).
+    """
+    if activation_bits is None:
+        activation_bits = _DEFAULT_ACTIVATION_BITS
+    if use_pallas is None:
+        from .pallas.dequant_matmul import kernel_supported_stacked
+
+        use_pallas = (
+            jax.default_backend() == "tpu" and kernel_supported_stacked(qt)
+        )
+    if use_pallas:
+        from .pallas.dequant_matmul import fused_quantized_matmul_stacked
+
+        out = fused_quantized_matmul_stacked(
+            x, qt, layer_idx, activation_bits=activation_bits
+        )
+    else:
+        w = dequantize_weight(index_stacked(qt, layer_idx), dtype=accum_dtype)
+        out = jnp.dot(
+            x.astype(accum_dtype), w, preferred_element_type=accum_dtype
+        )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

@@ -10,9 +10,13 @@ import pytest
 import jax.numpy as jnp
 
 from iron_weight_only_quant_tpu.config import PER_CHANNEL, PER_TENSOR, QuantSpec
+import jax
+
 from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
     fused_quantized_matmul,
+    fused_quantized_matmul_stacked,
     kernel_supported,
+    kernel_supported_stacked,
 )
 from iron_weight_only_quant_tpu.ops.qmatmul import dequantize_weight
 from iron_weight_only_quant_tpu.quantize import quantize_tensor
@@ -67,6 +71,56 @@ def test_unsupported_shapes_rejected():
     w = jnp.asarray(rng.normal(size=(96, 100)).astype(np.float32))  # N !% 128
     qt = quantize_tensor(w, QuantSpec(fmt="int", bits=4, group_size=PER_CHANNEL))
     assert not kernel_supported(qt)
+
+
+@pytest.mark.parametrize("spec", [
+    QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False),
+    QuantSpec(fmt="int", bits=4, group_size=PER_CHANNEL, symmetric=True),
+    QuantSpec(fmt="int", bits=8, group_size=64, symmetric=False),
+])
+@pytest.mark.parametrize("m", [1, 16])
+def test_stacked_kernel_selects_layer(spec, m):
+    """Scalar-prefetch stacked kernel == per-layer fused kernel, every layer."""
+    rng = np.random.default_rng(7)
+    n_layers = 3
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32) * 0.05),
+            spec,
+        )
+        for _ in range(n_layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    assert kernel_supported_stacked(stacked)
+    assert not kernel_supported(stacked)
+    x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
+    for l in range(n_layers):
+        y_ref = x @ dequantize_weight(qts[l])
+        y = fused_quantized_matmul_stacked(x, stacked, l, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-4
+        )
+
+
+def test_stacked_kernel_w4a8():
+    rng = np.random.default_rng(8)
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.05),
+            spec,
+        )
+        for _ in range(2)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    y_ref = np.asarray(x @ dequantize_weight(qts[1]))
+    y = np.asarray(
+        fused_quantized_matmul_stacked(x, stacked, 1, interpret=True,
+                                       activation_bits=8)
+    )
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 0.01, rel
 
 
 @pytest.mark.parametrize("spec", [

@@ -48,6 +48,19 @@ def test_quantized_stacked(model, tokens):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_quantized_int4_stacked(model, tokens):
+    """int4 packed artifacts through the stacked-linear seam (XLA fallback on
+    CPU; the scalar-prefetch kernel path is covered in test_pallas_kernel)."""
+    cfg, params = model
+    qp, _ = quantize_model_params(
+        params, QuantSpec(fmt="int", bits=4, group_size=32, symmetric=False)
+    )
+    stacked = stack_llama_layers(qp)
+    a, _ = llama_forward(qp, tokens, cfg)
+    b, _ = llama_forward_scan(stacked, tokens, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_cached_decode_matches(model, tokens):
     cfg, params = model
     stacked = stack_llama_layers(params)
