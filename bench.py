@@ -23,9 +23,13 @@ import time
 import numpy as np
 
 
-def build_quantized_llama(cfg, key, spec, dtype):
+def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False):
     """Random-init directly on device, quantizing each linear as it is made
-    (avoids materializing the dense 7B model or host->device transfers)."""
+    (avoids materializing the dense 7B model or host->device transfers).
+
+    ``quantize_lm_head`` packs the lm_head too (the reference always skips it,
+    quant_wrapper.py:53; here it is a serving option -- the 262 MB bf16 head
+    is ~0.4 ms of a 7 ms decode step)."""
     import jax
     import jax.numpy as jnp
 
@@ -36,18 +40,19 @@ def build_quantized_llama(cfg, key, spec, dtype):
 
     fn_cache = {}
 
-    def qlin(k, kin, kout):
-        if spec is None:
-            w = jax.random.normal(k, (kin, kout), dtype) * (kin**-0.5)
+    def qlin(k, kin, kout, scale=None, force_dense=False):
+        scale = kin**-0.5 if scale is None else scale
+        if spec is None or force_dense:
+            w = jax.random.normal(k, (kin, kout), dtype) * scale
             return {"w": w, "b": None}
-        if (kin, kout) not in fn_cache:
-            fn_cache[(kin, kout)] = jax.jit(
-                lambda kk, _kin=kin, _kout=kout: quantize_tensor(
-                    jax.random.normal(kk, (_kin, _kout), jnp.float32) * (_kin**-0.5),
+        if (kin, kout, scale) not in fn_cache:
+            fn_cache[(kin, kout, scale)] = jax.jit(
+                lambda kk, _kin=kin, _kout=kout, _s=scale: quantize_tensor(
+                    jax.random.normal(kk, (_kin, _kout), jnp.float32) * _s,
                     spec, pad_n_to=512,
                 )
             )
-        return {"w": fn_cache[(kin, kout)](k), "b": None}
+        return {"w": fn_cache[(kin, kout, scale)](k), "b": None}
 
     keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
     layers = []
@@ -67,8 +72,8 @@ def build_quantized_llama(cfg, key, spec, dtype):
         "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
         "layers": layers,
         "final_norm": jnp.ones((h,), dtype),
-        "lm_head": {"w": jax.random.normal(next(keys), (h, cfg.vocab_size), dtype) * 0.02,
-                    "b": None},
+        "lm_head": qlin(next(keys), h, cfg.vocab_size, scale=0.02,
+                        force_dense=not quantize_lm_head),
     }
 
 
@@ -146,6 +151,8 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
     ap.add_argument("--scan", action="store_true",
                     help="scan-over-layers forward (fast compile, slower decode)")
+    ap.add_argument("--qhead", action="store_true",
+                    help="quantize the lm_head too (reference always skips it)")
     args = ap.parse_args()
 
     import jax
@@ -180,7 +187,8 @@ def main():
         return stack_llama_layers(p) if args.scan else p
 
     # headline: full-depth W4 decode throughput
-    params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16))
+    params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
+                                       quantize_lm_head=args.qhead))
     t_step = decode_time_per_step(cfg, params_w4, batch, scan_layers=args.scan)
     toks_per_s = batch / t_step
     del params_w4
@@ -189,7 +197,8 @@ def main():
     # alongside scratch through this tunnel reliably)
     import dataclasses
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
-    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16))
+    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
+                                  quantize_lm_head=args.qhead))
     t_w4 = decode_time_per_step(cfg_r, p_w4, batch, scan_layers=args.scan)
     del p_w4
     p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))

@@ -7,9 +7,9 @@ per-(token, head, group) affine params on write and dequantized on read.
 The quantization scheme is the C1 ``pseudo_quantize_tensor`` semantics
 (asymmetric min/max over groups of the head dim).
 
-int8 halves KV memory vs bf16; int4 codes currently occupy one byte each
-(nibble-packing the cache is a planned optimization) but exercise the same
-numerics.
+int8 halves KV memory vs bf16; int4 codes are nibble-packed two-per-byte
+(split-D layout: byte ``d`` holds codes ``d`` and ``d + D/2``), quartering
+cache memory and read bandwidth vs bf16.
 """
 
 from __future__ import annotations
@@ -29,8 +29,10 @@ from ..models.common import KVCacheView
 class QuantKVCacheView:
     """Quantized per-layer cache: codes + per-group affine params.
 
-    Shapes: codes ``[B, T, H, D]`` int8; scales/zeros ``[B, T, H, D/g]`` f32.
-    ``bits``/``group`` are static (jit-time) metadata.
+    Shapes: codes ``[B, T, H, D]`` int8, or ``[B, T, H, D/2]`` uint8 when
+    ``packed`` (two 4-bit codes per byte, split-D halves in lo/hi nibbles);
+    scales/zeros ``[B, T, H, D/g]`` f32.  ``bits``/``group``/``packed`` are
+    static (jit-time) metadata.
     """
 
     k_codes: jnp.ndarray
@@ -42,17 +44,39 @@ class QuantKVCacheView:
     length: jnp.ndarray
     bits: int = struct.field(pytree_node=False)
     group: int = struct.field(pytree_node=False)
+    packed: bool = struct.field(pytree_node=False, default=False)
 
 
 CacheView = Union[KVCacheView, QuantKVCacheView]
 
 
-def _encode(x: jnp.ndarray, bits: int, group: int):
-    """[B, S, H, D] -> codes i8, scales/zeros [B, S, H, D/g]."""
+def _pack_nibbles(codes: jnp.ndarray) -> jnp.ndarray:
+    """[..., D] codes in [0, 15] -> [..., D/2] uint8, split-D lo/hi halves."""
+    d = codes.shape[-1]
+    lo = codes[..., : d // 2]
+    hi = codes[..., d // 2 :]
+    return (lo + hi * 16).astype(jnp.uint8)
+
+
+def _unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., D/2] uint8 -> [..., D] int32 codes in [0, 15]."""
+    p = packed.astype(jnp.int32)
+    return jnp.concatenate([p & 0xF, p >> 4], axis=-1)
+
+
+def _encode(x: jnp.ndarray, bits: int, group: int, packed: bool = False):
+    """[B, S, H, D] -> codes i8 (or packed u8), scales/zeros [B, S, H, D/g]."""
     b, s, h, d = x.shape
     g = min(group, d)
     rows = x.astype(jnp.float32).reshape(-1, g)
     codes, scales, zeros = encode_int(rows, bits, symmetric=False)
+    if packed:
+        codes = _pack_nibbles(codes.reshape(b, s, h, d))
+        return (
+            codes,
+            scales.reshape(b, s, h, d // g),
+            zeros.reshape(b, s, h, d // g),
+        )
     # asym codes span [0, 2^bits - 1]; shift by -2^(bits-1) to fit int8
     # (the (code - zero) difference is invariant to a common shift)
     off = 1 << (bits - 1)
@@ -63,8 +87,10 @@ def _encode(x: jnp.ndarray, bits: int, group: int):
     )
 
 
-def _decode(codes, scales, zeros, d: int, dtype):
+def _decode(codes, scales, zeros, d: int, dtype, packed: bool = False):
     b, s, h, _ = codes.shape
+    if packed:
+        codes = _unpack_nibbles(codes)
     g = d // scales.shape[-1]
     vals = decode_int(
         codes.astype(jnp.int32).reshape(-1, g).astype(jnp.float32),
@@ -95,17 +121,21 @@ def make_caches(
         ]
     g = min(kv_cfg.kv_group_size, head_dim)
     ng = head_dim // g
+    packed = kv_cfg.kv_bits == 4 and head_dim % 2 == 0
+    d_store = head_dim // 2 if packed else head_dim
+    code_dtype = jnp.uint8 if packed else jnp.int8
     return [
         QuantKVCacheView(
-            jnp.zeros((batch, t, n_kv_heads, head_dim), jnp.int8),
+            jnp.zeros((batch, t, n_kv_heads, d_store), code_dtype),
             jnp.ones((batch, t, n_kv_heads, ng), jnp.float32),
             jnp.zeros((batch, t, n_kv_heads, ng), jnp.float32),
-            jnp.zeros((batch, t, n_kv_heads, head_dim), jnp.int8),
+            jnp.zeros((batch, t, n_kv_heads, d_store), code_dtype),
             jnp.ones((batch, t, n_kv_heads, ng), jnp.float32),
             jnp.zeros((batch, t, n_kv_heads, ng), jnp.float32),
             jnp.asarray(0, jnp.int32),
             kv_cfg.kv_bits,
             g,
+            packed,
         )
         for _ in range(n_layers)
     ]
@@ -121,8 +151,8 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
 
     start = cache.length
     d = k_new.shape[-1]
-    kc, ks, kz = _encode(k_new, cache.bits, cache.group)
-    vc, vs, vz = _encode(v_new, cache.bits, cache.group)
+    kc, ks, kz = _encode(k_new, cache.bits, cache.group, cache.packed)
+    vc, vs, vz = _encode(v_new, cache.bits, cache.group, cache.packed)
 
     def upd(buf, val):
         return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), (0, start, 0, 0))
@@ -130,10 +160,12 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
     cache = QuantKVCacheView(
         upd(cache.k_codes, kc), upd(cache.k_scales, ks), upd(cache.k_zeros, kz),
         upd(cache.v_codes, vc), upd(cache.v_scales, vs), upd(cache.v_zeros, vz),
-        cache.length + k_new.shape[1], cache.bits, cache.group,
+        cache.length + k_new.shape[1], cache.bits, cache.group, cache.packed,
     )
-    k_all = _decode(cache.k_codes, cache.k_scales, cache.k_zeros, d, k_new.dtype)
-    v_all = _decode(cache.v_codes, cache.v_scales, cache.v_zeros, d, v_new.dtype)
+    k_all = _decode(cache.k_codes, cache.k_scales, cache.k_zeros, d, k_new.dtype,
+                    cache.packed)
+    v_all = _decode(cache.v_codes, cache.v_scales, cache.v_zeros, d, v_new.dtype,
+                    cache.packed)
     return cache, k_all, v_all
 
 

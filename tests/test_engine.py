@@ -110,6 +110,28 @@ class TestQuantizedKV:
         out = eng4.generate([[1, 7, 3]], max_new_tokens=3)[0]
         assert len(out) == 3
 
+    def test_int4_kv_nibble_packed(self):
+        """int4 caches store two codes per byte (split-D nibbles) and decode
+        to exactly the values an unpacked int4 round-trip would produce."""
+        from iron_weight_only_quant_tpu.engine.kvcache import _decode, _encode
+
+        caches = make_caches(1, 2, 2, 16, KVCacheConfig(max_seq_len=8, kv_bits=4,
+                                                        kv_group_size=8))
+        c = caches[0]
+        assert c.packed and c.k_codes.dtype == jnp.uint8
+        assert c.k_codes.shape == (2, 8, 2, 8)  # D=16 -> 8 bytes
+
+        rng = np.random.default_rng(1)
+        k = jnp.asarray(rng.normal(size=(2, 3, 2, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 3, 2, 16)).astype(np.float32))
+        cache, k_all, _ = update_and_fetch(c, k, v)
+        assert int(cache.length) == 3
+
+        # oracle: unpacked encode/decode round-trip of the same tokens
+        kc, ks, kz = _encode(k, 4, 8, packed=False)
+        k_ref = _decode(kc, ks, kz, 16, jnp.float32, packed=False)
+        np.testing.assert_array_equal(np.asarray(k_all[:, :3]), np.asarray(k_ref))
+
 
 class TestQuantizedModelEngine:
     def test_quantized_weights_generation(self, tiny_model):
