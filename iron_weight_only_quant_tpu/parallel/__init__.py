@@ -8,6 +8,14 @@ ICI.
 """
 
 from .mesh import make_mesh, multihost_init
+from .pp import make_pp_llama_forward, stage_stack_llama_layers
 from .sharding import apply_sharding, param_specs
 
-__all__ = ["make_mesh", "multihost_init", "apply_sharding", "param_specs"]
+__all__ = [
+    "make_mesh",
+    "multihost_init",
+    "apply_sharding",
+    "param_specs",
+    "make_pp_llama_forward",
+    "stage_stack_llama_layers",
+]
