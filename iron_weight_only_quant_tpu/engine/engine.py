@@ -227,63 +227,77 @@ class InferenceEngine:
 
         Every step runs one [B, 1] decode program.  Idle slots admit the next
         queued request and stream its prompt tokens through the same program
-        (their logits are ignored until the prompt is exhausted).  The KV
-        timeline per slot starts at the slot's admission step; masks keep
-        slots independent.
+        (their logits are ignored until the prompt is exhausted).  KV
+        timelines are *slot-local*: each slot writes its token at its own
+        cache column (vmapped per-row scatter in the cache update), so a slot
+        admitted late starts at column 0 and ``max_seq_len`` bounds each
+        *request*, not the total tokens the batch has ever served.
         """
         if any(len(r) == 0 for r in requests):
             raise ValueError("empty prompts are not allowed")
         nslots = min(self.engine_cfg.max_batch_size, max(1, len(requests)))
         caches = self._fresh_caches(nslots)
         t_max = cache_max_len(caches[0])
+        for r in requests:
+            if len(r) + max_new_tokens > t_max:
+                raise ValueError(
+                    f"request ({len(r)} tokens) + max_new ({max_new_tokens}) "
+                    f"exceeds kv.max_seq_len ({t_max})"
+                )
 
         queue = list(range(len(requests)))
         results: Dict[int, List[int]] = {}
         # per-slot state
         slot_req = [-1] * nslots          # request id
-        slot_start = np.zeros(nslots, np.int64)   # cache col where slot began
+        slot_len = np.zeros(nslots, np.int64)     # slot-local cache column
         slot_fed = np.zeros(nslots, np.int64)     # prompt tokens fed
         slot_gen = np.zeros(nslots, np.int64)     # tokens generated
         pending_tok = np.zeros(nslots, np.int64)  # next token to feed
 
         rng = jax.random.PRNGKey(seed)
-        cur = 0  # global cache column (shared timeline)
 
         def admit(s):
+            slot_len[s] = 0
             if not queue:
                 slot_req[s] = -1
                 return
             rid = queue.pop(0)
             slot_req[s] = rid
-            slot_start[s] = cur
             slot_fed[s] = 0
             slot_gen[s] = 0
             results[rid] = []
             pending_tok[s] = requests[rid][0]
+
+        def set_lengths(caches, lens_np):
+            out = []
+            for c in caches:
+                # fresh array per layer: the decode step donates its inputs
+                # and a shared buffer may not be donated twice
+                lens = jnp.asarray(lens_np, jnp.int32)
+                out.append(c._replace(length=lens) if hasattr(c, "_replace")
+                           else c.replace(length=lens))
+            return out
 
         for s in range(nslots):
             admit(s)
 
         cols = jnp.arange(t_max)
         while any(r >= 0 for r in slot_req):
-            if cur >= t_max:
-                raise RuntimeError("KV cache exhausted; raise kv.max_seq_len")
             toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
-            starts = jnp.asarray(slot_start, jnp.int32)
-            # one token per slot per step -> this token's position is simply
-            # the number of steps since the slot was admitted
-            positions = (jnp.asarray(cur, jnp.int32) - starts)[:, None]
-            mask = (
-                (cols[None, None, None, :] <= cur)
-                & (cols[None, None, None, :] >= starts[:, None, None, None])
-            )
+            # this step's token is written at the slot's own column; idle
+            # slots keep writing (and reading) garbage that nothing consumes
+            lens_np = np.minimum(slot_len, t_max - 1)
+            caches = set_lengths(caches, lens_np)
+            lens = jnp.asarray(lens_np, jnp.int32)
+            positions = lens[:, None]
+            mask = cols[None, None, None, :] <= lens[:, None, None, None]
             rng, sub = jax.random.split(rng)
             next_tok, caches = _decode_step(
                 self.params, toks, positions, mask, caches, sub,
                 self.forward, self.cfg, temperature, top_k,
                 self.engine_cfg.activation_bits,
             )
-            cur += 1
+            slot_len += 1
             sampled = np.asarray(next_tok)
             for s in range(nslots):
                 rid = slot_req[s]

@@ -154,8 +154,18 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
     kc, ks, kz = _encode(k_new, cache.bits, cache.group, cache.packed)
     vc, vs, vz = _encode(v_new, cache.bits, cache.group, cache.packed)
 
-    def upd(buf, val):
-        return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), (0, start, 0, 0))
+    if getattr(start, "ndim", 0) == 1:  # slot-local timelines ([B] starts)
+        def upd(buf, val):
+            return jax.vmap(
+                lambda b, v, st: jax.lax.dynamic_update_slice(
+                    b, v.astype(b.dtype), (st, 0, 0)
+                )
+            )(buf, val, start)
+    else:
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, start, 0, 0)
+            )
 
     cache = QuantKVCacheView(
         upd(cache.k_codes, kc), upd(cache.k_scales, ks), upd(cache.k_zeros, kz),

@@ -211,12 +211,27 @@ def alibi_slopes(n_heads: int) -> jnp.ndarray:
 def update_kv_cache(
     cache: KVCacheView, k_new: jnp.ndarray, v_new: jnp.ndarray
 ) -> KVCacheView:
-    """Write S new tokens at position ``cache.length`` (static S, dynamic start)."""
+    """Write S new tokens at position ``cache.length`` (static S, dynamic start).
+
+    ``length`` may be a scalar (one shared timeline) or ``[B]`` (slot-local
+    timelines, continuous batching): the vector case scatters each row at its
+    own start column.
+    """
     start = cache.length
-    k = jax.lax.dynamic_update_slice(
-        cache.k, k_new.astype(cache.k.dtype), (0, start, 0, 0)
-    )
-    v = jax.lax.dynamic_update_slice(
-        cache.v, v_new.astype(cache.v.dtype), (0, start, 0, 0)
-    )
+    if getattr(start, "ndim", 0) == 1:
+        def upd(buf, val):
+            return jax.vmap(
+                lambda b, v, st: jax.lax.dynamic_update_slice(
+                    b, v.astype(b.dtype), (st, 0, 0)
+                )
+            )(buf, val, start)
+        k = upd(cache.k, k_new)
+        v = upd(cache.v, v_new)
+    else:
+        k = jax.lax.dynamic_update_slice(
+            cache.k, k_new.astype(cache.k.dtype), (0, start, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache.v, v_new.astype(cache.v.dtype), (0, start, 0, 0)
+        )
     return KVCacheView(k, v, cache.length + k_new.shape[1])

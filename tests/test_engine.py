@@ -81,6 +81,26 @@ class TestContinuousBatching:
             want = eng.generate([r], max_new_tokens=4)[0]
             assert got == want, r
 
+    def test_serve_outlives_shared_timeline(self, tiny_model):
+        """Slot-local KV timelines: total served tokens may far exceed
+        max_seq_len as long as each *request* fits (a shared global timeline
+        would exhaust the cache here: 6 requests x ~8 tokens > 16 columns)."""
+        cfg, params = tiny_model
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=16), max_batch_size=2)
+        eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg)
+        reqs = [[5, 2, 8], [1, 7, 3], [11, 4], [9, 9, 9, 9], [2, 3], [8]]
+        served = eng.serve(reqs, max_new_tokens=4)
+        for r, got in zip(reqs, served):
+            want = eng.generate([r], max_new_tokens=4)[0]
+            assert got == want, r
+
+    def test_serve_rejects_oversized_request(self, tiny_model):
+        cfg, params = tiny_model
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=8), max_batch_size=2)
+        eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg)
+        with pytest.raises(ValueError):
+            eng.serve([[1] * 6], max_new_tokens=4)
+
 
 class TestQuantizedKV:
     def test_int8_kv_roundtrip(self):
