@@ -22,7 +22,11 @@ from .common import (
     causal_mask,
     layernorm,
     linear,
+    stack_model_layers,
+    stacked_layer_view,
 )
+
+stack_bloom_layers = stack_model_layers
 
 
 @dataclass(frozen=True)
@@ -140,6 +144,64 @@ def bloom_forward(
         x, cache_i = _block(x, p, cfg, mask, bias, cache_i)
         if new_caches is not None:
             new_caches.append(cache_i)
+
+    x = layernorm(
+        x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps
+    )
+    logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    return logits, new_caches
+
+
+# ------------------------------------------------- scan-over-layers variant
+
+def bloom_forward_scan(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    cfg: BloomConfig,
+    caches=None,  # stacked cache pytree with leading L axis, or None
+    positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Any]]:
+    """Same semantics as :func:`bloom_forward` over :func:`stack_bloom_layers`
+    params (one compiled block; packed weights indexed in place by the
+    scalar-prefetch kernel)."""
+    b, s = tokens.shape
+    if caches is None:
+        mask = causal_mask(s) if attn_mask is None else attn_mask
+        t = s
+    else:
+        start = caches.length[0]
+        t = caches.k.shape[2] if hasattr(caches, "k") else caches.k_codes.shape[2]
+        if attn_mask is None:
+            qpos = (start + jnp.arange(s)) if positions is None else positions
+            mask = (jnp.arange(t)[None, :] <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
+    bias = _alibi_bias(cfg, t)
+
+    x = params["embed"][tokens]
+    x = layernorm(
+        x, params["embed_norm"]["w"], params["embed_norm"]["b"], cfg.layer_norm_eps
+    )
+
+    stacked = params["layers_stacked"]
+    n_layers = stacked["attn_norm"]["w"].shape[0]
+
+    if caches is None:
+        def body(x, l):
+            x, _ = _block(x, stacked_layer_view(stacked, l), cfg, mask, bias, None)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
+        new_caches = None
+    else:
+        def body(x, inputs):
+            l, cache_l = inputs
+            x, cache_l = _block(x, stacked_layer_view(stacked, l), cfg, mask,
+                                bias, cache_l)
+            return x, cache_l
+
+        x, new_caches = jax.lax.scan(body, x, (jnp.arange(n_layers), caches))
 
     x = layernorm(
         x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps

@@ -53,6 +53,49 @@ class StackedLinear:
         self.idx = idx
 
 
+def stack_model_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Stack the per-layer param list into one pytree with leading L axis.
+
+    Enables the scan-over-layers forwards: one compiled block body instead of
+    ``num_layers`` unrolled copies -- compile time and HLO size become
+    depth-independent (essential for 70B-class, 80-layer models).  Packed
+    ``QuantizedTensor`` leaves stack to ``[L, ...]`` arrays that the
+    scalar-prefetch fused kernel indexes in place (no per-step weight copy).
+    """
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**{k: v for k, v in params.items() if k != "layers"},
+            "layers_stacked": stacked}
+
+
+def _is_stacked_linear(v: Any) -> bool:
+    if not (isinstance(v, dict) and "w" in v):
+        return False
+    w = v["w"]
+    if isinstance(w, QuantizedTensor):
+        return True
+    return getattr(w, "ndim", 0) == 3  # dense stacked [L, K, N]
+
+
+def stacked_layer_view(stacked: Dict[str, Any], l) -> Dict[str, Any]:
+    """One layer's param view inside a stacked pytree, for scan bodies.
+
+    Linears become lazy :class:`StackedLinear` views (weights stay put in
+    HBM; the fused kernel selects the layer via scalar prefetch); everything
+    else (norm vectors, nested {"w","b"} norm dicts) is dynamically indexed,
+    which is cheap for vectors.
+    """
+    lp = {}
+    for name, v in stacked.items():
+        if _is_stacked_linear(v):
+            lp[name] = StackedLinear(v, l)
+        elif isinstance(v, dict):
+            lp[name] = jax.tree.map(lambda a: a[l], v)
+        else:
+            lp[name] = v[l]
+    return lp
+
+
 def linear(x: jnp.ndarray, p: Any) -> jnp.ndarray:
     """Apply a linear layer whose weight is dense ``[K, N]`` or quantized.
 

@@ -15,13 +15,13 @@ import jax.numpy as jnp
 
 from .common import (
     KVCacheView,
-    StackedLinear,
     apply_rope,
     attend,
     causal_mask,
     linear,
     rmsnorm,
     rope_tables,
+    stacked_layer_view,
 )
 
 
@@ -179,17 +179,7 @@ def llama_forward(
 
 # ------------------------------------------------- scan-over-layers variant
 
-def stack_llama_layers(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Stack the per-layer param list into one pytree with leading L axis.
-
-    Enables :func:`llama_forward_scan`: one compiled block body instead of
-    ``num_layers`` unrolled copies -- compile time and HLO size become
-    depth-independent (essential for 70B-class, 80-layer models).
-    """
-    layers = params["layers"]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    return {**{k: v for k, v in params.items() if k != "layers"},
-            "layers_stacked": stacked}
+from .common import stack_model_layers as stack_llama_layers  # noqa: E402
 
 
 def llama_forward_scan(
@@ -229,18 +219,12 @@ def llama_forward_scan(
     stacked = params["layers_stacked"]
     n_layers = stacked["input_norm"].shape[0]
 
+    # weights stay put in HBM: linears become StackedLinear views that the
+    # fused kernel indexes via scalar prefetch; per-layer vectors (norms)
+    # are dynamically indexed (cheap).  Scanning the stacked weights as
+    # scan xs instead would HBM-copy every layer's weights every step.
     def layer_view(l):
-        # weights stay put in HBM: linears become StackedLinear views that the
-        # fused kernel indexes via scalar prefetch; per-layer vectors (norms)
-        # are dynamically indexed (cheap).  Scanning the stacked weights as
-        # scan xs instead would HBM-copy every layer's weights every step.
-        lp = {}
-        for name, v in stacked.items():
-            if isinstance(v, dict) and "w" in v:
-                lp[name] = StackedLinear(v, l)
-            else:
-                lp[name] = v[l]
-        return lp
+        return stacked_layer_view(stacked, l)
 
     if caches is None:
         def body(x, l):

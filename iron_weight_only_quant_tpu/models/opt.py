@@ -20,7 +20,11 @@ from .common import (
     causal_mask,
     layernorm,
     linear,
+    stack_model_layers,
+    stacked_layer_view,
 )
+
+stack_opt_layers = stack_model_layers
 
 POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset
 
@@ -160,4 +164,64 @@ def opt_forward(
             x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps
         )
     logits = jnp.dot(x, params["embed"].T.astype(x.dtype))  # tied lm_head
+    return logits, new_caches
+
+
+# ------------------------------------------------- scan-over-layers variant
+
+def opt_forward_scan(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    cfg: OPTConfig,
+    caches=None,  # stacked cache pytree with leading L axis, or None
+    positions: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Any]]:
+    """Same semantics as :func:`opt_forward` over :func:`stack_opt_layers`
+    params (one compiled block; packed weights indexed in place by the
+    scalar-prefetch kernel)."""
+    b, s = tokens.shape
+    if caches is None:
+        if positions is None:
+            positions = jnp.arange(s)
+        mask = causal_mask(s) if attn_mask is None else attn_mask
+    else:
+        start = caches.length[0]
+        if positions is None:
+            positions = start + jnp.arange(s)
+        if attn_mask is None:
+            t_max = (caches.k.shape[2] if hasattr(caches, "k")
+                     else caches.k_codes.shape[2])
+            cols = jnp.arange(t_max)[None, :]
+            qpos = positions if positions.ndim == 1 else positions[0]
+            mask = (cols <= qpos[:, None])[None, None]
+        else:
+            mask = attn_mask
+
+    x = params["embed"][tokens] + params["embed_pos"][positions + POS_OFFSET]
+
+    stacked = params["layers_stacked"]
+    n_layers = stacked["attn_norm"]["w"].shape[0]
+
+    if caches is None:
+        def body(x, l):
+            x, _ = _block(x, stacked_layer_view(stacked, l), cfg, mask, None)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
+        new_caches = None
+    else:
+        def body(x, inputs):
+            l, cache_l = inputs
+            x, cache_l = _block(x, stacked_layer_view(stacked, l), cfg, mask,
+                                cache_l)
+            return x, cache_l
+
+        x, new_caches = jax.lax.scan(body, x, (jnp.arange(n_layers), caches))
+
+    if cfg.do_layer_norm_before and "final_norm" in params:
+        x = layernorm(
+            x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps
+        )
+    logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
     return logits, new_caches

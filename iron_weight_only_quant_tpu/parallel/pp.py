@@ -34,7 +34,13 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..models.common import StackedLinear, causal_mask, linear, rmsnorm, rope_tables
+from ..models.common import (
+    causal_mask,
+    linear,
+    rmsnorm,
+    rope_tables,
+    stacked_layer_view,
+)
 from ..models.llama import _block
 
 
@@ -103,12 +109,7 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
             h = x_embed.shape[-1]
 
             def layer_body(x, l):
-                lp = {}
-                for name, v in local.items():
-                    if isinstance(v, dict) and "w" in v:
-                        lp[name] = StackedLinear(v, l)
-                    else:
-                        lp[name] = v[l]
+                lp = stacked_layer_view(local, l)
                 x, _ = _block(x, lp, cfg, cos, sin, mask, None)
                 return x, None
 

@@ -79,6 +79,86 @@ def test_cached_decode_matches(model, tokens):
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
 
 
+class TestOptScan:
+    @pytest.fixture(scope="class")
+    def opt_model(self):
+        from iron_weight_only_quant_tpu.models.opt import OPTConfig, opt_init
+
+        cfg = OPTConfig.tiny()
+        return cfg, opt_init(cfg, jax.random.PRNGKey(1))
+
+    def test_forward_matches(self, opt_model, tokens):
+        from iron_weight_only_quant_tpu.models.opt import (
+            opt_forward,
+            opt_forward_scan,
+            stack_opt_layers,
+        )
+
+        cfg, params = opt_model
+        a, _ = opt_forward(params, tokens, cfg)
+        b, _ = opt_forward_scan(stack_opt_layers(params), tokens, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_quantized_cached_decode(self, opt_model, tokens):
+        from iron_weight_only_quant_tpu.models.opt import (
+            opt_forward,
+            opt_forward_scan,
+            stack_opt_layers,
+        )
+
+        cfg, params = opt_model
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        )
+        kv = KVCacheConfig(max_seq_len=32)
+        cu = make_caches(cfg.num_layers, 2, cfg.num_heads, cfg.hd, kv, jnp.float32)
+        cs = make_stacked_caches(cfg.num_layers, 2, cfg.num_heads, cfg.hd, kv,
+                                 jnp.float32)
+        a, cu = opt_forward(qp, tokens, cfg, caches=cu)
+        b, cs = opt_forward_scan(stack_opt_layers(qp), tokens, cfg, caches=cs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        nxt = jnp.argmax(a[:, -1:], axis=-1).astype(jnp.int32)
+        a2, _ = opt_forward(qp, nxt, cfg, caches=cu)
+        b2, _ = opt_forward_scan(stack_opt_layers(qp), nxt, cfg, caches=cs)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
+
+
+class TestBloomScan:
+    def test_forward_matches(self, tokens):
+        from iron_weight_only_quant_tpu.models.bloom import (
+            BloomConfig,
+            bloom_forward,
+            bloom_forward_scan,
+            bloom_init,
+            stack_bloom_layers,
+        )
+
+        cfg = BloomConfig.tiny()
+        params = bloom_init(cfg, jax.random.PRNGKey(2))
+        a, _ = bloom_forward(params, tokens, cfg)
+        b, _ = bloom_forward_scan(stack_bloom_layers(params), tokens, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_cached_decode_matches(self, tokens):
+        from iron_weight_only_quant_tpu.models.bloom import (
+            BloomConfig,
+            bloom_forward,
+            bloom_forward_scan,
+            bloom_init,
+            stack_bloom_layers,
+        )
+
+        cfg = BloomConfig.tiny()
+        params = bloom_init(cfg, jax.random.PRNGKey(2))
+        kv = KVCacheConfig(max_seq_len=32)
+        cu = make_caches(cfg.num_layers, 2, cfg.num_heads, cfg.hd, kv, jnp.float32)
+        cs = make_stacked_caches(cfg.num_layers, 2, cfg.num_heads, cfg.hd, kv,
+                                 jnp.float32)
+        a, _ = bloom_forward(params, tokens, cfg, caches=cu)
+        b, _ = bloom_forward_scan(stack_bloom_layers(params), tokens, cfg, caches=cs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_quantized_kv_stacked(model, tokens):
     cfg, params = model
     stacked = stack_llama_layers(params)
