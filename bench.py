@@ -153,7 +153,12 @@ def main():
                     help="scan-over-layers forward (fast compile, slower decode)")
     ap.add_argument("--qhead", action="store_true",
                     help="quantize the lm_head too (reference always skips it)")
+    ap.add_argument("--model", default="7b", choices=["7b", "13b"],
+                    help="llama shape to benchmark (13b implies --scan for "
+                         "depth-independent compile time)")
     args = ap.parse_args()
+    if args.model == "13b":
+        args.scan = True
 
     import jax
 
@@ -173,6 +178,11 @@ def main():
                           max_position_embeddings=256)
         ratio_layers = 2
         batch = 4
+    elif args.model == "13b":
+        cfg = LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                          num_layers=40, num_heads=40, num_kv_heads=40)
+        ratio_layers = 8
+        batch = 8
     else:
         cfg = LlamaConfig.llama2_7b()
         ratio_layers = 8  # sub-model both paths fit in HBM for the ratio
@@ -207,7 +217,7 @@ def main():
     speedup = t_bf16 / t_w4
 
     result = {
-        "metric": "llama7b-shape W4g128 decode throughput, 1 chip"
+        "metric": f"llama{args.model}-shape W4g128 decode throughput, 1 chip"
         if not args.small else "tiny W4 decode throughput (sanity)",
         "value": round(toks_per_s, 2),
         "unit": "tokens/s/chip",
