@@ -196,6 +196,13 @@ class KVCacheConfig:
     max_seq_len: int = 2048
     kv_bits: int = 16  # 16 = no quantization; 8 / 4 supported
     kv_group_size: int = 128
+    # paged layout: KV lives in a shared page pool instead of per-slot slabs
+    # of max_seq_len; continuous batching allocates/frees pages per request,
+    # so pool memory tracks the *live* token count, not worst-case x batch.
+    paged: bool = False
+    page_size: int = 64
+    # pool size in pages; 0 = worst case (batch * ceil(max_seq_len/page) + 1)
+    num_pages: int = 0
 
 
 @dataclass(frozen=True)

@@ -256,17 +256,45 @@ class InferenceEngine:
 
         rng = jax.random.PRNGKey(seed)
 
-        def admit(s):
+        # paged KV: this loop owns the page allocator (vLLM-style scheduler
+        # side); pages are allocated as a slot's length crosses a page
+        # boundary, freed when its request completes, and the updated table
+        # rides in with the next step's cache pytree.
+        paged = self.engine_cfg.kv.paged
+        if paged:
+            from .kvcache import PageAllocator, pool_pages
+
+            page = self.engine_cfg.kv.page_size
+            mp = t_max // page
+            allocator = PageAllocator(pool_pages(nslots, self.engine_cfg.kv))
+            slot_pages: List[List[int]] = [[] for _ in range(nslots)]
+            table_np = np.zeros((nslots, mp), np.int32)
+
+        def release(s):
+            slot_req[s] = -1
             slot_len[s] = 0
-            if not queue:
-                slot_req[s] = -1
-                return
+            if paged:
+                allocator.free(slot_pages[s])
+                slot_pages[s] = []
+                table_np[s, :] = 0
+
+        def admit(s):
             rid = queue.pop(0)
             slot_req[s] = rid
+            slot_len[s] = 0
             slot_fed[s] = 0
             slot_gen[s] = 0
             results[rid] = []
             pending_tok[s] = requests[rid][0]
+
+        def ensure_pages(lens_np):
+            for s in range(nslots):
+                if slot_req[s] < 0:
+                    continue
+                while len(slot_pages[s]) <= lens_np[s] // page:
+                    pg = allocator.alloc()
+                    table_np[s, len(slot_pages[s])] = pg
+                    slot_pages[s].append(pg)
 
         def set_lengths(caches, lens_np):
             out = []
@@ -274,19 +302,28 @@ class InferenceEngine:
                 # fresh array per layer: the decode step donates its inputs
                 # and a shared buffer may not be donated twice
                 lens = jnp.asarray(lens_np, jnp.int32)
-                out.append(c._replace(length=lens) if hasattr(c, "_replace")
-                           else c.replace(length=lens))
+                upd = {"length": lens}
+                if paged:
+                    upd["page_table"] = jnp.asarray(table_np)
+                out.append(c._replace(**upd) if hasattr(c, "_replace")
+                           else c.replace(**upd))
             return out
 
-        for s in range(nslots):
-            admit(s)
-
         cols = jnp.arange(t_max)
-        while any(r >= 0 for r in slot_req):
+        while queue or any(r >= 0 for r in slot_req):
+            # admit queued requests into idle slots (deferred under paging
+            # until the pool has a page for the new request's first column)
+            for s in range(nslots):
+                if slot_req[s] < 0 and queue and (
+                    not paged or allocator.free_count > 0
+                ):
+                    admit(s)
             toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
             # this step's token is written at the slot's own column; idle
             # slots keep writing (and reading) garbage that nothing consumes
             lens_np = np.minimum(slot_len, t_max - 1)
+            if paged:
+                ensure_pages(lens_np)
             caches = set_lengths(caches, lens_np)
             lens = jnp.asarray(lens_np, jnp.int32)
             positions = lens[:, None]
@@ -314,7 +351,7 @@ class InferenceEngine:
                 results[rid].append(tok)
                 slot_gen[s] += 1
                 if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
-                    admit(s)
+                    release(s)
                 else:
                     pending_tok[s] = tok
         return [results[i] for i in range(len(requests))]

@@ -14,7 +14,7 @@ cache memory and read bandwidth vs bf16.
 
 from __future__ import annotations
 
-from typing import List, Union
+from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,67 @@ class QuantKVCacheView:
     packed: bool = struct.field(pytree_node=False, default=False)
 
 
-CacheView = Union[KVCacheView, QuantKVCacheView]
+@struct.dataclass
+class PagedKVCacheView:
+    """Paged per-layer cache: a shared pool of fixed-size pages + a per-slot
+    page table (vLLM-style paging, laid out TPU-first: the read path is one
+    static-shape gather ``pool[table]`` so it jits into a single dynamic-
+    gather, and writes are one batched scatter at (page, offset) — no
+    per-token host interaction).
+
+    Pools are ``[P, page, H, D]`` (compute dtype, or int8/uint8 codes with
+    scale/zero pools ``[P, page, H, D/g]`` when quantized; ``scales is None``
+    means dense).  ``page_table`` is ``[B, MP]`` int32 page ids; entry 0 is
+    the reserved garbage page (idle slots and unallocated columns point
+    there; attention masks those columns out).  ``length`` is always ``[B]``
+    (slot-local timelines).
+    """
+
+    k_pages: jnp.ndarray
+    v_pages: jnp.ndarray
+    k_scales: Optional[jnp.ndarray]
+    k_zeros: Optional[jnp.ndarray]
+    v_scales: Optional[jnp.ndarray]
+    v_zeros: Optional[jnp.ndarray]
+    page_table: jnp.ndarray
+    length: jnp.ndarray
+    page_size: int = struct.field(pytree_node=False)
+    bits: int = struct.field(pytree_node=False, default=16)
+    group: int = struct.field(pytree_node=False, default=128)
+    packed: bool = struct.field(pytree_node=False, default=False)
+
+
+CacheView = Union[KVCacheView, QuantKVCacheView, PagedKVCacheView]
+
+
+class PageAllocator:
+    """Host-side free list over the page pool (page 0 is reserved garbage).
+
+    The device never allocates: the engine's serve loop calls ``alloc`` as a
+    slot's length crosses a page boundary and pushes the updated table in
+    with the next step's inputs (a [B, MP] int32 array — a few hundred
+    bytes), mirroring how vLLM's scheduler owns the block table.
+    """
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free = list(range(num_pages - 1, 0, -1))  # pop() yields 1,2,...
+
+    @property
+    def free_count(self) -> int:
+        return len(self._free)
+
+    def alloc(self) -> int:
+        if not self._free:
+            raise RuntimeError(
+                "KV page pool exhausted; raise KVCacheConfig.num_pages "
+                "(need >= slots * ceil((prompt+max_new)/page_size) to "
+                "guarantee admission-order progress)"
+            )
+        return self._free.pop()
+
+    def free(self, pages) -> None:
+        self._free.extend(pages)
 
 
 def _pack_nibbles(codes: jnp.ndarray) -> jnp.ndarray:
@@ -110,6 +170,10 @@ def make_caches(
     dtype=jnp.bfloat16,
 ) -> List[CacheView]:
     t = kv_cfg.max_seq_len
+    if kv_cfg.paged:
+        return _make_paged_caches(
+            n_layers, batch, n_kv_heads, head_dim, kv_cfg, dtype
+        )
     if kv_cfg.kv_bits >= 16:
         return [
             KVCacheView(
@@ -141,8 +205,111 @@ def make_caches(
     ]
 
 
+def pages_per_seq(kv_cfg: KVCacheConfig) -> int:
+    return -(-kv_cfg.max_seq_len // kv_cfg.page_size)
+
+
+def pool_pages(batch: int, kv_cfg: KVCacheConfig) -> int:
+    """Pool size in pages: configured, or worst case + 1 garbage page."""
+    return kv_cfg.num_pages or (1 + batch * pages_per_seq(kv_cfg))
+
+
+def _make_paged_caches(n_layers, batch, n_kv_heads, head_dim, kv_cfg, dtype):
+    mp = pages_per_seq(kv_cfg)
+    p = pool_pages(batch, kv_cfg)
+    page = kv_cfg.page_size
+    quant = kv_cfg.kv_bits < 16
+    g = min(kv_cfg.kv_group_size, head_dim) if quant else kv_cfg.kv_group_size
+    packed = quant and kv_cfg.kv_bits == 4 and head_dim % 2 == 0
+    d_store = head_dim // 2 if packed else head_dim
+    code_dtype = (jnp.uint8 if packed else jnp.int8) if quant else dtype
+    # default table: contiguous static allocation (slot b owns pages
+    # 1 + b*mp .. 1 + (b+1)*mp - 1, when they exist).  generate() works out
+    # of the box with this; serve() overwrites the table from its allocator.
+    table = 1 + jnp.arange(batch)[:, None] * mp + jnp.arange(mp)[None, :]
+    table = jnp.where(table < p, table, 0).astype(jnp.int32)
+
+    def mk_scale():
+        if not quant:
+            return None, None
+        return (
+            jnp.ones((p, page, n_kv_heads, head_dim // g), jnp.float32),
+            jnp.zeros((p, page, n_kv_heads, head_dim // g), jnp.float32),
+        )
+
+    out = []
+    for _ in range(n_layers):
+        ks, kz = mk_scale()
+        vs, vz = mk_scale()
+        out.append(
+            PagedKVCacheView(
+                jnp.zeros((p, page, n_kv_heads, d_store), code_dtype),
+                jnp.zeros((p, page, n_kv_heads, d_store), code_dtype),
+                ks, kz, vs, vz,
+                table,
+                jnp.zeros((batch,), jnp.int32),
+                page,
+                kv_cfg.kv_bits if quant else 16,
+                g,
+                packed,
+            )
+        )
+    return out
+
+
+def _paged_update_and_fetch(cache: PagedKVCacheView, k_new, v_new):
+    b, s, h, d = k_new.shape
+    page = cache.page_size
+    mp = cache.page_table.shape[1]
+    quant = cache.bits < 16
+
+    # (page id, offset) for each of the S new tokens of each slot
+    t = cache.length[:, None] + jnp.arange(s)[None, :]  # [B, S]
+    slot_page = jnp.clip(t // page, 0, mp - 1)
+    pidx = jnp.take_along_axis(cache.page_table, slot_page, axis=1)  # [B, S]
+    poff = t % page
+
+    if quant:
+        kc, ks, kz = _encode(k_new, cache.bits, cache.group, cache.packed)
+        vc, vs, vz = _encode(v_new, cache.bits, cache.group, cache.packed)
+        cache = cache.replace(
+            k_pages=cache.k_pages.at[pidx, poff].set(kc.astype(cache.k_pages.dtype)),
+            v_pages=cache.v_pages.at[pidx, poff].set(vc.astype(cache.v_pages.dtype)),
+            k_scales=cache.k_scales.at[pidx, poff].set(ks),
+            k_zeros=cache.k_zeros.at[pidx, poff].set(kz),
+            v_scales=cache.v_scales.at[pidx, poff].set(vs),
+            v_zeros=cache.v_zeros.at[pidx, poff].set(vz),
+            length=cache.length + s,
+        )
+    else:
+        cache = cache.replace(
+            k_pages=cache.k_pages.at[pidx, poff].set(k_new.astype(cache.k_pages.dtype)),
+            v_pages=cache.v_pages.at[pidx, poff].set(v_new.astype(cache.v_pages.dtype)),
+            length=cache.length + s,
+        )
+
+    # one static-shape gather materializes the slot-ordered timeline
+    # [B, MP*page, H, D]; unallocated columns read the garbage page and are
+    # masked out by the attention mask built from `length`.
+    def view(pool):
+        g = pool[cache.page_table]  # [B, MP, page, H, d_store]
+        return g.reshape(b, mp * page, h, g.shape[-1])
+
+    if quant:
+        k_all = _decode(view(cache.k_pages), view(cache.k_scales),
+                        view(cache.k_zeros), d, k_new.dtype, cache.packed)
+        v_all = _decode(view(cache.v_pages), view(cache.v_scales),
+                        view(cache.v_zeros), d, v_new.dtype, cache.packed)
+    else:
+        k_all = view(cache.k_pages).astype(k_new.dtype)
+        v_all = view(cache.v_pages).astype(v_new.dtype)
+    return cache, k_all, v_all
+
+
 def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
     """Append S new tokens; return (cache', k_all, v_all) in compute dtype."""
+    if isinstance(cache, PagedKVCacheView):
+        return _paged_update_and_fetch(cache, k_new, v_new)
     if isinstance(cache, KVCacheView):
         from ..models.common import update_kv_cache
 
@@ -199,4 +366,6 @@ def cache_length(cache: CacheView) -> jnp.ndarray:
 def cache_max_len(cache: CacheView) -> int:
     if isinstance(cache, KVCacheView):
         return cache.k.shape[1]
+    if isinstance(cache, PagedKVCacheView):
+        return cache.page_table.shape[1] * cache.page_size
     return cache.k_codes.shape[1]
