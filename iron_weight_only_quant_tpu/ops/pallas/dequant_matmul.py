@@ -43,10 +43,40 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _pick_tn(n: int) -> Optional[int]:
-    for tn in (512, 256, 128):
+    """Feasibility check only — real selection happens in _plan_tiles."""
+    for tn in (2048, 1024, 512, 256, 128):
         if n % tn == 0:
             return tn
     return None
+
+
+_TILE_BYTES_CAP = 3 * 2**20  # measured knee: >3MB tiles starve the pipeline
+
+
+def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
+    """Joint (tn, tpk) selection, tuned on the v5e (scripts/probe_tiles.py).
+
+    Measured across LLaMA-7B decode shapes, the HBM stream is maximized by
+    the *largest* weight tile that still leaves a >=4-deep grid for Mosaic's
+    double buffering, capped at ~3MB (beyond that the two in-flight buffers
+    exceed the VMEM the scheduler will pipeline and the stream collapses —
+    4096x4096 m=8: tn=1024 -> 578 GB/s vs tn=512 -> 438 and tn=2048 -> 517;
+    11008x4096: tn=512 (2.75MB tiles) -> 615 GB/s vs tn=1024 -> 540).
+    """
+    best = None
+    for tn in (2048, 1024, 512, 256, 128):
+        if n % tn != 0:
+            continue
+        tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs)
+        tile_bytes = tpk * tn
+        steps = (n // tn) * (kp // tpk)
+        feasible = tile_bytes <= _TILE_BYTES_CAP and steps >= 4
+        score = (1 if feasible else 0, tile_bytes if feasible else 0, tn)
+        if best is None or score > best[0]:
+            best = (score, tn, tpk, rs, g_target)
+    if best is None:
+        return None
+    return best[1:]
 
 
 def _pick_tm(m: int) -> int:
@@ -315,11 +345,11 @@ def fused_quantized_matmul(
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
-    tn = _pick_tn(n)
 
     rows = qt.scales.shape[0]
     kp = k // 2 if bits == 4 else k
-    tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs=2 if bits == 4 else 1)
+    tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
+                                        slabs=2 if bits == 4 else 1)
     nk = kp // tpk
     scales = _normalize_side(qt.scales, k, n, g_target)
     zeros = _normalize_side(qt.zeros, k, n, g_target)
@@ -397,11 +427,11 @@ def fused_quantized_matmul_stacked(
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
-    tn = _pick_tn(n)
 
     rows = qt.scales.shape[1]
     kp = k // 2 if bits == 4 else k
-    tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs=2 if bits == 4 else 1)
+    tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
+                                        slabs=2 if bits == 4 else 1)
     nk = kp // tpk
     scales = _normalize_side(qt.scales, k, n, g_target, axis=1)
     zeros = _normalize_side(qt.zeros, k, n, g_target, axis=1)
