@@ -35,6 +35,12 @@ def add_quant_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mse", action="store_true",
                    help="GPTQ grid-shrink scale search")
     p.add_argument("--calib_dataset", default="wikitext2")
+    # TrueOBS variant (reference zeroShot/models/fast_trueobs.py)
+    p.add_argument("--solver", default="gptq", choices=["gptq", "trueobs"])
+    p.add_argument("--sparseout", action="store_true",
+                   help="TrueOBS: keep high-error weights at fp (sparse outliers)")
+    p.add_argument("--nearest", action="store_true",
+                   help="TrueOBS: skip Hessian error propagation")
 
 
 _DEFAULT_EM = {"fp4": (2, 1), "fp6": (3, 2), "fp8": (4, 3)}

@@ -50,7 +50,9 @@ def main(argv=None):
                 params, cfg, family, samples, spec,
                 GPTQConfig(nsamples=args.nsamples, percdamp=args.percdamp,
                            act_order=args.act_order, mse=args.mse,
-                           calib_dataset=args.calib_dataset),
+                           calib_dataset=args.calib_dataset,
+                           solver=args.solver, sparseout=args.sparseout,
+                           nearest=args.nearest),
                 true_sequential=args.true_sequential,
             )
             report = {"n_quantized": "gptq"}

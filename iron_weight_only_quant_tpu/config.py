@@ -183,6 +183,13 @@ class GPTQConfig:
     calib_dataset: str = "wikitext2"
     calib_seqlen: int = 2048
     seed: int = 0
+    # TrueOBS variant solver (reference zeroShot/models/fast_trueobs.py):
+    # per-channel params found once; optional sparse fp-outlier escape and
+    # propagation-free nearest rounding.  sparseout output is fake-quant
+    # dense (fp outliers are not grid-representable).
+    solver: str = "gptq"  # "gptq" | "trueobs"
+    sparseout: bool = False
+    nearest: bool = False
 
 
 @dataclass(frozen=True)

@@ -86,3 +86,35 @@ class EvalLM:
         """Full-sequence nll (for perplexity-style tasks)."""
         out = self.loglikelihood([([self.pad_token], tokens)])
         return out[0][0]
+
+    def greedy_until(
+        self,
+        requests: Sequence[Tuple[List[int], Sequence[List[int]]]],
+        max_gen: int = 64,
+    ) -> List[List[int]]:
+        """[(context_tokens, stop_sequences)] -> generated continuations.
+
+        The third method of the reference's BaseLM API
+        (gptq/zeroShot/models/models_utils.py:122-135 greedy_until):
+        token-by-token argmax decode until the generated suffix ends with
+        any stop sequence (the stop itself is trimmed, like the reference
+        splits on the ``until`` string) or ``max_gen`` tokens.
+        """
+        outs: List[List[int]] = []
+        for ctx, stops in requests:
+            ctx = list(ctx) if ctx else [self.pad_token]
+            gen: List[int] = []
+            for _ in range(max_gen):
+                window = (ctx + gen)[-self.max_len :]
+                tokens = jnp.asarray(np.asarray(window, np.int32)[None, :])
+                logits, _ = self.forward(self.params, tokens, self.cfg)
+                nxt = int(jnp.argmax(logits[0, -1].astype(jnp.float32)))
+                gen.append(nxt)
+                hit = next(
+                    (s for s in stops if s and gen[-len(s):] == list(s)), None
+                )
+                if hit is not None:
+                    gen = gen[: len(gen) - len(hit)]
+                    break
+            outs.append(gen)
+        return outs

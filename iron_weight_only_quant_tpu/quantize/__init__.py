@@ -2,5 +2,11 @@
 
 from .qtensor import QuantizedTensor
 from .rtn import quantize_tensor
+from .trueobs import TrueOBSResult, trueobs_quantize
 
-__all__ = ["QuantizedTensor", "quantize_tensor"]
+__all__ = [
+    "QuantizedTensor",
+    "TrueOBSResult",
+    "quantize_tensor",
+    "trueobs_quantize",
+]

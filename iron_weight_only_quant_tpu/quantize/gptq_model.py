@@ -21,7 +21,8 @@ import numpy as np
 
 from ..config import GPTQConfig, QuantSpec
 from ..models.common import recording_linears
-from .gptq import gptq_quantize, hessian_update
+from .gptq import GPTQResult, gptq_quantize, hessian_update
+from .trueobs import trueobs_quantize
 from .qtensor import QuantizedTensor
 from ..ops.packing import pack_codes
 
@@ -85,10 +86,30 @@ def quantize_blocks_gptq(
     if spec.fmt != "int":
         raise NotImplementedError("GPTQ supports int format only")  # quant_wrapper.py:24-25
     groupsize = spec.group_size if spec.group_size > 0 else -1
+    if gcfg.solver == "trueobs" and groupsize != -1:
+        # the reference TrueOBS quantizer finds params once on the full
+        # matrix (fast_trueobs.py:72-73) -- per-channel only
+        raise NotImplementedError("TrueOBS is per-channel: use group_size<=0")
 
     def solve(bp, name, h):
         w = bp[name]["w"]  # [K, N]
         k, n = w.shape
+        if gcfg.solver == "trueobs":
+            # TrueOBS finds per-channel params once (no groups); sparseout
+            # keeps fp outliers, so the result stays fake-quant dense.
+            res = trueobs_quantize(
+                w.T.astype(jnp.float32), h,
+                bits=spec.bits, sym=spec.symmetric,
+                blocksize=gcfg.blocksize, percdamp=gcfg.percdamp,
+                mse=gcfg.mse, sparseout=gcfg.sparseout, nearest=gcfg.nearest,
+            )
+            if pack and not gcfg.sparseout:
+                gres = GPTQResult(
+                    res.q, res.codes, res.scale[:, None], res.zero[:, None],
+                    None,
+                )
+                return gptq_result_to_qtensor(gres, spec, k, n)
+            return res.q.T.astype(w.dtype)
         res = gptq_quantize(
             w.T.astype(jnp.float32), h,
             bits=spec.bits, sym=spec.symmetric, groupsize=groupsize,

@@ -144,3 +144,29 @@ class TestMetrics:
         assert M.f1_score([1, 1, 0], [1, 1, 0]) == 1.0
         assert M.matthews_corrcoef([1, 0, 1, 0], [1, 0, 1, 0]) == 1.0
         assert M.matthews_corrcoef([1, 0, 1, 0], [0, 1, 0, 1]) == -1.0
+
+
+class TestGreedyUntil:
+    """BaseLM's third API method (models_utils.py greedy_until)."""
+
+    def test_matches_stepwise_argmax(self, lm, model):
+        cfg, params = model
+        ctx = [3, 5, 7, 11]
+        (gen,) = lm.greedy_until([(ctx, [])], max_gen=5)
+        assert len(gen) == 5
+        # reproduce by hand: argmax of the last position, step by step
+        seq = list(ctx)
+        for g in gen:
+            logits, _ = opt_forward(params, jnp.asarray([seq], jnp.int32), cfg)
+            assert int(jnp.argmax(logits[0, -1].astype(jnp.float32))) == g
+            seq.append(g)
+
+    def test_stop_sequence_trimmed(self, lm):
+        (free,) = lm.greedy_until([([3, 5, 7, 11], [])], max_gen=6)
+        stop = [free[2]]  # stop on the 3rd generated token
+        (gen,) = lm.greedy_until([([3, 5, 7, 11], [stop])], max_gen=6)
+        assert gen == free[:2]  # stop token itself trimmed
+
+    def test_batch_of_requests(self, lm):
+        outs = lm.greedy_until([([3, 5], []), ([9, 2, 4], [])], max_gen=3)
+        assert len(outs) == 2 and all(len(o) == 3 for o in outs)
