@@ -19,6 +19,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_model_args(ap)
     ap.add_argument("--prompt", nargs="+", default=None)
+    ap.add_argument("--chat", action="store_true",
+                    help="wrap prompts in the model family's chat template "
+                         "(reference utils.py:65-77 format_chat_prompt)")
     ap.add_argument("--max_new_tokens", type=int, default=32)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--top_k", type=int, default=0)
@@ -45,6 +48,12 @@ def main(argv=None):
 
         tok = AutoTokenizer.from_pretrained(args.model_path, use_fast=False)
 
+    if args.prompt and args.chat:
+        from ..models.chat import format_chat_prompt
+
+        args.prompt = [
+            format_chat_prompt(p, args.model_path or family) for p in args.prompt
+        ]
     if args.prompt and tok is not None:
         prompts = [tok(p).input_ids for p in args.prompt]
     elif args.prompt:

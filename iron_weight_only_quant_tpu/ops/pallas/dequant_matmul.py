@@ -186,6 +186,15 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
         return False
     if qt.k_shards > 1:
         return False  # global view of a row-sharded artifact: XLA path
+    # Mosaic cannot lower the single-group-row dynamic side-info loads for
+    # 16-bit dtypes (16-bit sublanes pack 2 logical rows per physical one;
+    # "cannot statically prove index is a multiple of 8", measured on v5e):
+    # 16-bit side artifacts take the XLA path.  NOTES.md has the packed
+    # bf16-pair-in-int32 design that would lift this.
+    if qt.scales.dtype.itemsize != 4:
+        return False
+    if qt.zeros is not None and qt.zeros.dtype.itemsize != 4:
+        return False
     bits = qt.spec.storage_bits
     if bits not in (4, 8):
         return False
@@ -219,12 +228,13 @@ def kernel_supported_stacked(qt: QuantizedTensor) -> bool:
 
 def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int,
                     axis: int = 0) -> jnp.ndarray:
-    """scales/zeros of any stored granularity -> [K/g_target, N] f32.
+    """scales/zeros of any stored granularity -> [K/g_target, N].
 
-    ``axis=1`` handles layer-stacked side info ``[L, rows, N]``.
+    Storage dtype is preserved (16-bit side info halves its HBM stream --
+    the kernel upcasts to f32 in the epilogue); ``axis=1`` handles
+    layer-stacked side info ``[L, rows, N]``.
     """
     rows = k // g_target
-    side = side.astype(jnp.float32)
     if side.shape[axis] == rows and side.shape[-1] == n:
         return side
     if side.shape[axis] == 1:

@@ -32,7 +32,8 @@ def _kernel_layout(per_group_col: jnp.ndarray, k: int, n: int, group_size: int) 
 
 
 def quantize_tensor(
-    w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1, pad_n_to: int = 1
+    w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1, pad_n_to: int = 1,
+    side_dtype=None,
 ) -> QuantizedTensor:
     """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path).
 
@@ -40,6 +41,11 @@ def quantize_tensor(
     segments so the artifact can be row-parallel sharded (see packing.py).
     ``pad_n_to`` zero-pads stored output columns to that multiple so the
     fused kernel always gets full-width tiles (``shape`` stays logical).
+    ``side_dtype`` stores scales/zeros at reduced precision (e.g.
+    ``jnp.float16`` -- the dtype the reference itself keeps scales in,
+    quant_linear.py buffers are fp16): at g128 the f32 side-info stream is
+    ~12% of the W4 kernel's HBM traffic, halved by 16-bit storage.
+    Scale *computation* stays f32; only storage rounds.  Default f32.
     """
     if spec.quant_axis != 0:
         raise NotImplementedError("packed artifacts require quant_axis=0")
@@ -50,6 +56,9 @@ def quantize_tensor(
         raise NotImplementedError(
             "double-approximate decode is group-contextual; packed path unsupported"
         )
+
+    def cast_side(a):
+        return a if a is None or side_dtype is None else a.astype(side_dtype)
 
     k, n = w.shape
     n_pad = 0
@@ -79,8 +88,8 @@ def quantize_tensor(
             codes = codes - 128
             zeros = zeros - 128.0
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
-        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
-                               k_shards, n_pad)
+        return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros),
+                               None, spec, (k, n), "affine", k_shards, n_pad)
 
     if spec.fmt == "bfp":
         codes = codes_to_kernel(enc.codes)
@@ -97,8 +106,8 @@ def quantize_tensor(
         scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
         scales = _kernel_layout(scales_g, k, n_stored, spec.group_size)
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
-        return QuantizedTensor(qweight, scales, zeros, None, spec, (k, n), "affine",
-                               k_shards, n_pad)
+        return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros),
+                               None, spec, (k, n), "affine", k_shards, n_pad)
 
     # minifloat: LUT mode
     fmt = spec.float_format
@@ -113,5 +122,5 @@ def quantize_tensor(
     if store_bits == 8:
         codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
     qweight = pack_codes_sharded(codes, store_bits, k_shards)
-    return QuantizedTensor(qweight, scales, zeros, book, spec, (k, n), "lut",
-                           k_shards, n_pad)
+    return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros), book,
+                           spec, (k, n), "lut", k_shards, n_pad)

@@ -153,3 +153,26 @@ class TestQuantizedModel:
         corr = np.corrcoef(a, b)[0, 1]
         # tiny random models are far more noise-sensitive than trained ones
         assert corr > 0.95
+
+
+class TestChatTemplate:
+    """format_chat_prompt parity (reference utils.py:65-77)."""
+
+    def test_llama_template(self):
+        from iron_weight_only_quant_tpu.models.chat import (
+            LLAMA_SYSTEM, format_chat_prompt)
+
+        p = format_chat_prompt("hello", "llama-2-7b-chat")
+        assert p.startswith("[INST] <<SYS>>\n")
+        assert LLAMA_SYSTEM in p and p.endswith("hello [/INST]")
+
+    def test_vicuna_for_longchat(self):
+        from iron_weight_only_quant_tpu.models.chat import format_chat_prompt
+
+        p = format_chat_prompt("hi", "longchat-13b-16k")
+        assert "USER: hi ASSISTANT:" in p
+
+    def test_passthrough(self):
+        from iron_weight_only_quant_tpu.models.chat import format_chat_prompt
+
+        assert format_chat_prompt("raw", "opt-6.7b") == "raw"

@@ -136,3 +136,30 @@ def test_w4a8_close_to_full_precision(weight, spec):
     y = np.asarray(fused_quantized_matmul(x, qt, interpret=True, activation_bits=8))
     rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
     assert rel < 0.01, rel
+
+
+@pytest.mark.parametrize("side_dtype", [jnp.float16, jnp.bfloat16])
+def test_16bit_side_info(weight, side_dtype):
+    """Scales/zeros stored at 16 bit flow through both kernel and XLA paths;
+    self-consistent (same rounded side info) and close to the f32 artifact."""
+    rng = np.random.default_rng(5)
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    qt32 = quantize_tensor(weight, spec)
+    qt16 = quantize_tensor(weight, spec, side_dtype=side_dtype)
+    assert qt16.scales.dtype == side_dtype
+    assert qt16.nbytes_packed() < qt32.nbytes_packed()
+    # Mosaic can't lower 16-bit single-row side loads on real TPUs (see
+    # _layout_supported); dispatch must route these to the XLA path.  The
+    # kernel *logic* is dtype-generic -- verified in interpret mode below.
+    assert not kernel_supported(qt16)
+    x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    y_ref = x @ dequantize_weight(qt16)  # XLA path on the same artifact
+    y = fused_quantized_matmul(x, qt16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-4)
+    # 16-bit scale rounding is a small perturbation of the f32 artifact
+    y32 = fused_quantized_matmul(x, qt32, interpret=True)
+    rel = np.abs(np.asarray(y) - np.asarray(y32)).max() / (
+        np.abs(np.asarray(y32)).max() + 1e-6
+    )
+    assert rel < 5e-3, rel
