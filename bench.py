@@ -46,6 +46,10 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False):
             w = jax.random.normal(k, (kin, kout), dtype) * scale
             return {"w": w, "b": None}
         if (kin, kout, scale) not in fn_cache:
+            # NOTE: packed bf16-pair sides (quantize.rtn.with_packed_sides)
+            # win +14-21% on isolated large-K-tile matmuls but measured
+            # *slower* end-to-end in this decode step (7.51 vs 7.24 ms,
+            # NOTES.md) -- kept opt-in, not used for the headline
             fn_cache[(kin, kout, scale)] = jax.jit(
                 lambda kk, _kin=kin, _kout=kout, _s=scale: quantize_tensor(
                     jax.random.normal(kk, (_kin, _kout), jnp.float32) * _s,

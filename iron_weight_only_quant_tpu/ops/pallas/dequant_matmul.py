@@ -132,13 +132,28 @@ def _flat_sz(s_ref, z_ref, srow):
     return lambda r: (s_ref[pl.ds(srow + r, 1), :], z_ref[pl.ds(srow + r, 1), :])
 
 
-def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
-                 *, rs: int, nk: int, out_dtype):
+def _packed_sz(sz_ref, srow):
+    """Side loader for the int32 (bf16 zero | bf16 scale) packed layout.
+
+    One 32-bit row load per group (same sublane alignment as the f32 side
+    loads -- Mosaic rejects 16-bit single-row dynamic loads), then an
+    in-register split: f32 bits of a bf16 are its bits << 16.
+    """
+    def load(r):
+        row = sz_ref[pl.ds(srow + r, 1), :]
+        s = jax.lax.bitcast_convert_type(row << 16, jnp.float32)
+        z = jax.lax.bitcast_convert_type(row & jnp.int32(-65536), jnp.float32)
+        return s, z
+
+    return load
+
+
+def _int4_body(x_lo_ref, x_hi_ref, qw_ref, sz_lo, sz_hi, o_ref, acc_ref,
+               out_dtype, rs):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    kk = pl.program_id(2)
     # one 8-bit-lane mask op per nibble; the stored MSB-flipped high nibble
     # makes i8(qw & 0xF0) == 16*hi - 128 exactly (no shifts, no widening)
     qw = qw_ref[:]
@@ -149,11 +164,45 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
     dtype = x_lo_ref.dtype
 
     acc = acc_ref[:]
-    acc = _group_accum(acc, x_lo_ref[:], lo, _flat_sz(s_ref, z_ref, kk * rs),
-                       rs, g, dtype)
-    acc = _group_accum(acc, x_hi_ref[:], hi, _flat_sz(s_ref, z_ref, (nk + kk) * rs),
-                       rs, g, dtype, mult=1.0 / 16.0, zshift=8.0)
+    acc = _group_accum(acc, x_lo_ref[:], lo, sz_lo, rs, g, dtype)
+    acc = _group_accum(acc, x_hi_ref[:], hi, sz_hi, rs, g, dtype,
+                       mult=1.0 / 16.0, zshift=8.0)
     acc_ref[:] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                 *, rs: int, nk: int, out_dtype):
+    kk = pl.program_id(2)
+    _int4_body(x_lo_ref, x_hi_ref, qw_ref,
+               _flat_sz(s_ref, z_ref, kk * rs),
+               _flat_sz(s_ref, z_ref, (nk + kk) * rs),
+               o_ref, acc_ref, out_dtype, rs)
+
+
+def _int4_kernel_packed(x_lo_ref, x_hi_ref, qw_ref, sz_ref, o_ref, acc_ref,
+                        *, rs: int, nk: int, out_dtype):
+    kk = pl.program_id(2)
+    _int4_body(x_lo_ref, x_hi_ref, qw_ref,
+               _packed_sz(sz_ref, kk * rs),
+               _packed_sz(sz_ref, (nk + kk) * rs),
+               o_ref, acc_ref, out_dtype, rs)
+
+
+def _int8_body(x_ref, qw_ref, sz, o_ref, acc_ref, out_dtype, rs):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # byte codes are stored as two's-complement (code - 128) with shifted
+    # zero-points, so a bare bitcast is the whole unpack
+    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
+    g = qw_ref.shape[0] // rs
+    acc_ref[:] = _group_accum(acc_ref[:], x_ref[:], codes, sz, rs, g,
+                              x_ref.dtype)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _emit():
@@ -162,23 +211,16 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
 
 def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
                  *, rs: int, out_dtype):
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     kk = pl.program_id(2)
-    # byte codes are stored as two's-complement (code - 128) with shifted
-    # zero-points, so a bare bitcast is the whole unpack
-    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
-    g = qw_ref.shape[0] // rs
-    acc_ref[:] = _group_accum(
-        acc_ref[:], x_ref[:], codes, _flat_sz(s_ref, z_ref, kk * rs), rs, g,
-        x_ref.dtype,
-    )
+    _int8_body(x_ref, qw_ref, _flat_sz(s_ref, z_ref, kk * rs), o_ref,
+               acc_ref, out_dtype, rs)
 
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _emit():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+def _int8_kernel_packed(x_ref, qw_ref, sz_ref, o_ref, acc_ref,
+                        *, rs: int, out_dtype):
+    kk = pl.program_id(2)
+    _int8_body(x_ref, qw_ref, _packed_sz(sz_ref, kk * rs), o_ref,
+               acc_ref, out_dtype, rs)
 
 
 def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
@@ -369,8 +411,21 @@ def fused_quantized_matmul(
     common = _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret)
     side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
 
+    # packed sides win where K-tiles are large (4096-K decode shapes: +14-21%
+    # measured, scripts/probe_side_dtype.py) but lose ~9% on small-tile K
+    # (11008 -> tpk=128, 43 grid steps); the artifact keeps the f32 arrays,
+    # so pick per shape
+    packed = qt.side_packed is not None and tpk >= 256
+    if packed:
+        side_ops = [_normalize_side(qt.side_packed, k, n, g_target)]
+        side_specs = [side_spec]
+    else:
+        side_ops = [scales, zeros]
+        side_specs = [side_spec, side_spec]
+
     if bits == 4:
-        kernel = functools.partial(_int4_kernel, rs=rs, nk=nk, out_dtype=out_dtype)
+        kfn = _int4_kernel_packed if packed else _int4_kernel
+        kernel = functools.partial(kfn, rs=rs, nk=nk, out_dtype=out_dtype)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -378,24 +433,23 @@ def fused_quantized_matmul(
                 pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
                 pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk)),
                 pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
-                side_spec,
-                side_spec,
+                *side_specs,
             ],
             **common,
-        )(x2, x2, qt.qweight, scales, zeros)
+        )(x2, x2, qt.qweight, *side_ops)
     else:
-        kernel = functools.partial(_int8_kernel, rs=rs, out_dtype=out_dtype)
+        kfn = _int8_kernel_packed if packed else _int8_kernel
+        kernel = functools.partial(kfn, rs=rs, out_dtype=out_dtype)
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
                 pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
-                side_spec,
-                side_spec,
+                *side_specs,
             ],
             **common,
-        )(x2, qt.qweight, scales, zeros)
+        )(x2, qt.qweight, *side_ops)
 
     return _finish(out, x, qt, m, m_pad, out_scale)
 

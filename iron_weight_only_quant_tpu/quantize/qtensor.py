@@ -49,6 +49,13 @@ class QuantizedTensor:
     # to a 512-multiple so the fused kernel gets full-width tiles); ``shape``
     # stays logical, consumers slice the padded columns off
     n_pad: int = struct.field(pytree_node=False, default=0)
+    # optional int32 [K/G, N] with (bf16 zero | bf16 scale) bit-packed per
+    # lane: the fused kernel reads ONE 32-bit side row per group (f32-load
+    # alignment, one DMA stream instead of two, half the side bytes) and
+    # splits in-register.  Built by :func:`rtn.with_packed_sides`, which also
+    # rounds the f32 scales/zeros to the same bf16 values so every path
+    # dequantizes identically.
+    side_packed: Optional[jnp.ndarray] = None
 
     @property
     def k(self) -> int:

@@ -40,8 +40,12 @@ def main():
         w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.02)
         x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16)
         base = None
-        for name, sd in (("f32", None), ("f16", jnp.float16), ("bf16", jnp.bfloat16)):
-            qt = quantize_tensor(w, spec, side_dtype=sd)
+        for name, sd in (("f32", None), ("packed", "packed")):
+            if sd == "packed":
+                from iron_weight_only_quant_tpu.quantize.rtn import with_packed_sides
+                qt = with_packed_sides(quantize_tensor(w, spec))
+            else:
+                qt = quantize_tensor(w, spec, side_dtype=sd)
             # correctness vs the artifact's own XLA dequant
             y = np.asarray(fused_quantized_matmul(x, qt), np.float32)
             y_ref = np.asarray(
@@ -49,7 +53,7 @@ def main():
                         preferred_element_type=jnp.float32))
             err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-6)
             t = timeit(fused_quantized_matmul, x, qt)
-            item = 4 if sd is None else 2
+            item = 4 if sd is None else 2  # packed: one int32 vs two f32
             byts = k * n / 2 + qt.scales.size * item * 2 + m * k * 2 + m * n * 2
             gbps = byts / t / 1e9
             if base is None:
