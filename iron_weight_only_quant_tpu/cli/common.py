@@ -31,6 +31,8 @@ def add_quant_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--nsamples", type=int, default=128)
     p.add_argument("--percdamp", type=float, default=0.01)
     p.add_argument("--act_order", action="store_true")
+    p.add_argument("--trits", action="store_true",
+                   help="ternary {min,0,max} GPTQ grid (reference quant.py:33)")
     p.add_argument("--true_sequential", action="store_true")
     p.add_argument("--mse", action="store_true",
                    help="GPTQ grid-shrink scale search")

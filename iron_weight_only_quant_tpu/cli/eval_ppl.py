@@ -56,7 +56,7 @@ def main(argv=None):
                 qparams = quantize_model_gptq(
                     params, cfg, family, [s.input_ids for s in train], spec,
                     GPTQConfig(nsamples=args.nsamples, percdamp=args.percdamp,
-                               act_order=args.act_order, mse=args.mse,
+                               act_order=args.act_order, mse=args.mse, trits=args.trits,
                                solver=args.solver, sparseout=args.sparseout,
                                nearest=args.nearest),
                     true_sequential=args.true_sequential)

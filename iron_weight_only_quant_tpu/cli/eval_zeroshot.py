@@ -11,7 +11,7 @@ import argparse
 import json
 
 from ..evals.lm import EvalLM
-from ..evals.zeroshot import evaluate, get_task
+from ..evals.zeroshot import evaluate, get_task, make_table
 from ..utils import append_results
 from .common import add_model_args, add_quant_args, load_model, spec_from_args
 
@@ -51,6 +51,7 @@ def main(argv=None):
         res = evaluate(lm, tasks, encode, limit=args.limit)
         all_results[f"w{w_bit}"] = res
         print(json.dumps(res, indent=2))
+        print(make_table(res))
 
     if args.output:
         append_results(args.output, all_results)

@@ -49,7 +49,7 @@ def main(argv=None):
             qparams = quantize_model_gptq(
                 params, cfg, family, samples, spec,
                 GPTQConfig(nsamples=args.nsamples, percdamp=args.percdamp,
-                           act_order=args.act_order, mse=args.mse,
+                           act_order=args.act_order, mse=args.mse, trits=args.trits,
                            calib_dataset=args.calib_dataset,
                            solver=args.solver, sparseout=args.sparseout,
                            nearest=args.nearest),

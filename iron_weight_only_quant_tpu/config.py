@@ -180,6 +180,7 @@ class GPTQConfig:
     act_order: bool = False
     static_groups: bool = False
     mse: bool = False  # grid-shrink scale search (reference quant.py:78-95)
+    trits: bool = False  # ternary {min,0,max} mode (reference quant.py:33-34)
     calib_dataset: str = "wikitext2"
     calib_seqlen: int = 2048
     seed: int = 0

@@ -5,7 +5,8 @@ loglikelihood API -- the TPU-native equivalent of the reference's vendored
 EleutherAI mini-harness (gptq/zeroShot/**).
 """
 
-from .base import MultipleChoiceTask, Task, evaluate
+from .base import MultipleChoiceTask, Task, evaluate, make_table
 from .tasks import TASK_REGISTRY, get_task
 
-__all__ = ["Task", "MultipleChoiceTask", "evaluate", "TASK_REGISTRY", "get_task"]
+__all__ = ["Task", "MultipleChoiceTask", "evaluate", "make_table",
+           "TASK_REGISTRY", "get_task"]

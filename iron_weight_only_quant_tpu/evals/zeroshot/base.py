@@ -111,3 +111,35 @@ def evaluate(
         task.name: task.aggregate(per_task_results[ti])
         for ti, task in enumerate(tasks)
     }
+
+
+def make_table(results: Dict[str, Dict[str, float]], fmt: str = "markdown") -> str:
+    """Render a results table (reference evaluator.py:215-241 make_table,
+    without the pytablewriter dependency).  ``fmt``: "markdown" | "latex"."""
+    rows: List[List[str]] = []
+    for task, dic in sorted(results.items()):
+        name = task
+        for m, v in dic.items():
+            if m.endswith("_stderr"):
+                continue
+            se = dic.get(m + "_stderr")
+            rows.append([name, m, f"{v:.4f}",
+                         "±" if se is not None else "",
+                         f"{se:.4f}" if se is not None else ""])
+            name = ""
+    headers = ["Task", "Metric", "Value", "", "Stderr"]
+    if fmt == "latex":
+        lines = [r"\begin{tabular}{lllll}", r"\hline",
+                 " & ".join(headers) + r" \\", r"\hline"]
+        for r in rows:
+            lines.append(" & ".join(c.replace("_", r"\_").replace("±", r"$\pm$")
+                                    for c in r) + r" \\")
+        lines += [r"\hline", r"\end{tabular}"]
+        return "\n".join(lines)
+    widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+              for i, h in enumerate(headers)]
+    def line(cells):
+        return "|" + "|".join(c.ljust(w) for c, w in zip(cells, widths)) + "|"
+    out = [line(headers), "|" + "|".join("-" * w for w in widths) + "|"]
+    out += [line(r) for r in rows]
+    return "\n".join(out)

@@ -50,12 +50,17 @@ def hessian_update(h: jnp.ndarray, n: jnp.ndarray, x: jnp.ndarray):
 def _find_params(
     w: jnp.ndarray, bits: int, sym: bool, mse: bool = False,
     norm: float = 2.4, grid: int = 100, maxshrink: float = 0.8,
+    trits: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row min/max grid params; w: [rows, width] -> (scale, zero) [rows].
 
     ``mse=True`` runs the reference Quantizer's grid-shrink search
     (gptq/quant.py:78-95): try ``p = 1 - i/grid`` shrunken ranges and keep
     the one minimizing the p-norm reconstruction error per row.
+
+    ``trits=True`` is the reference's ternary mode (gptq/quant.py:33-34,
+    68-70, maxq = -1): ``scale`` carries the row max, ``zero`` the row min,
+    and quantization snaps to {zero, 0, scale}.
     """
     maxq = float(2**bits - 1)
     xmin = jnp.minimum(jnp.min(w, axis=1), 0.0)
@@ -66,6 +71,8 @@ def _find_params(
     degenerate = (xmin == 0) & (xmax == 0)
     xmin = jnp.where(degenerate, -1.0, xmin)
     xmax = jnp.where(degenerate, 1.0, xmax)
+    if trits:
+        return xmax, xmin
     scale = (xmax - xmin) / maxq
     if sym:
         zero = jnp.full_like(scale, (maxq + 1) / 2)
@@ -97,7 +104,13 @@ def _find_params(
     return scale, zero
 
 
-def _quantize_col(w, scale, zero, maxq):
+def _quantize_col(w, scale, zero, maxq, trits: bool = False):
+    if trits:
+        # ternary snap (gptq/quant.py:6-8): {zero, 0, scale}, coded 0/1/2
+        hi = w > scale / 2
+        lo = w < zero / 2
+        q = hi * scale + lo * zero
+        return q, jnp.where(hi, 2.0, jnp.where(lo, 0.0, 1.0))
     q = jnp.clip(jnp.round(w / scale) + zero, 0, maxq)
     return scale * (q - zero), q
 
@@ -105,7 +118,7 @@ def _quantize_col(w, scale, zero, maxq):
 @partial(
     jax.jit,
     static_argnames=("bits", "sym", "groupsize", "blocksize", "actorder",
-                     "static_groups", "percdamp", "mse"),
+                     "static_groups", "percdamp", "mse", "trits"),
 )
 def gptq_quantize(
     w: jnp.ndarray,  # [rows, cols] f32 -- note [out, in] orientation
@@ -119,6 +132,7 @@ def gptq_quantize(
     actorder: bool = False,
     static_groups: bool = False,
     mse: bool = False,
+    trits: bool = False,
 ) -> GPTQResult:
     rows, cols = w.shape
     maxq = float(2**bits - 1)
@@ -130,14 +144,17 @@ def gptq_quantize(
     h = h + jnp.diag(jnp.where(dead, 1.0, 0.0))
     w = jnp.where(dead[None, :], 0.0, w)
 
-    gsize = cols if groupsize == -1 else groupsize
+    # a group wider than the matrix degenerates to one group over all
+    # columns (torch slicing clamps silently in the reference)
+    gsize = cols if groupsize == -1 else min(groupsize, cols)
     n_groups = (cols + gsize - 1) // gsize
 
     # static groups: scales fixed from the original (pre-update) weights
     if static_groups:
         sg_scales, sg_zeros = [], []
         for g in range(n_groups):
-            s, z = _find_params(w[:, g * gsize : (g + 1) * gsize], bits, sym, mse)
+            s, z = _find_params(w[:, g * gsize : (g + 1) * gsize], bits, sym,
+                                mse, trits=trits)
             sg_scales.append(s)
             sg_zeros.append(z)
         sg_scales = jnp.stack(sg_scales, axis=1)  # [rows, n_groups]
@@ -160,7 +177,7 @@ def gptq_quantize(
     hinv = jnp.linalg.cholesky(hinv_full).T  # upper: Hinv = U^T U
 
     if groupsize == -1 and not static_groups:
-        init_scale, init_zero = _find_params(w, bits, sym, mse)
+        init_scale, init_zero = _find_params(w, bits, sym, mse, trits=trits)
     else:
         init_scale = jnp.zeros((rows,))
         init_zero = jnp.zeros((rows,))
@@ -191,7 +208,7 @@ def gptq_quantize(
                 def refresh(_):
                     start = gcol  # gcol is a multiple of gsize at refresh
                     sl = jax.lax.dynamic_slice(w, (0, start), (rows, gsize))
-                    return _find_params(sl, bits, sym, mse)
+                    return _find_params(sl, bits, sym, mse, trits=trits)
 
                 is_boundary = (gcol % gsize) == 0
                 scale, zero = jax.lax.cond(
@@ -221,7 +238,7 @@ def gptq_quantize(
             d = jax.lax.dynamic_index_in_dim(
                 jnp.diag(hinv1), i, keepdims=False
             )
-            qcol, code = _quantize_col(wcol, scale, zero, maxq)
+            qcol, code = _quantize_col(wcol, scale, zero, maxq, trits=trits)
             err = (wcol - qcol) / d
             hrow = jax.lax.dynamic_slice(hinv1, (i, 0), (1, count))[0]
             upd = err[:, None] * (hrow[None, :] * (in_block >= i)[None, :])

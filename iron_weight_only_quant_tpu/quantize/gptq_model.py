@@ -115,9 +115,9 @@ def quantize_blocks_gptq(
             bits=spec.bits, sym=spec.symmetric, groupsize=groupsize,
             blocksize=gcfg.blocksize, percdamp=gcfg.percdamp,
             actorder=gcfg.act_order, static_groups=gcfg.static_groups,
-            mse=gcfg.mse,
+            mse=gcfg.mse, trits=gcfg.trits,
         )
-        if pack and not (gcfg.act_order and groupsize != -1):
+        if pack and not gcfg.trits and not (gcfg.act_order and groupsize != -1):
             return gptq_result_to_qtensor(res, spec, k, n)
         return res.q.T.astype(w.dtype)  # fake-quant dense
 

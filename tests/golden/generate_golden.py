@@ -149,6 +149,8 @@ def gen_gptq():
          dict(bits=4, perchannel=True, sym=False)),
         ("pc_sym_b3", dict(blocksize=16, percdamp=0.01, groupsize=-1),
          dict(bits=3, perchannel=True, sym=True)),
+        ("pc_trits", dict(blocksize=16, percdamp=0.01, groupsize=-1),
+         dict(bits=2, perchannel=True, sym=True, trits=True)),
     ):
         lin = torch.nn.Linear(cols, rows, bias=False)
         lin.weight.data = w.clone()

@@ -34,6 +34,7 @@ CASES = {
     "g16_asym_b4": dict(bits=4, sym=False, groupsize=16),
     "g16_asym_b4_act": dict(bits=4, sym=False, groupsize=16, actorder=True),
     "pc_sym_b3": dict(bits=3, sym=True, groupsize=-1),
+    "pc_trits": dict(bits=2, sym=True, groupsize=-1, trits=True),
 }
 
 
