@@ -6,6 +6,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..ops.qmatmul import quantized_matmul
 from ..quantize.qtensor import QuantizedTensor
@@ -66,6 +67,24 @@ def stack_model_layers(params: Dict[str, Any]) -> Dict[str, Any]:
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return {**{k: v for k, v in params.items() if k != "layers"},
             "layers_stacked": stacked}
+
+
+@struct.dataclass
+class FusedLinear:
+    """Several projections sharing one input, packed as ONE artifact.
+
+    Built by ``concat_n`` over the member weights; ``spans`` are the static
+    (start, end) column ranges of each member's logical output inside the
+    fused (padding-inclusive) output width.
+    """
+
+    w: Any
+    b: Optional[jnp.ndarray]
+    spans: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
+
+    def apply(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        y = linear(x, {"w": self.w, "b": self.b})
+        return tuple(y[..., a:b] for a, b in self.spans)
 
 
 def _is_stacked_linear(v: Any) -> bool:

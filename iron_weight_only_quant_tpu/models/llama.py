@@ -110,9 +110,16 @@ def _block(
     hd = cfg.hd
 
     attn_in = rmsnorm(x, p["input_norm"], cfg.rms_norm_eps)
-    q = linear(attn_in, p["q"]).reshape(b, s, cfg.num_heads, hd)
-    k = linear(attn_in, p["k"]).reshape(b, s, cfg.num_kv_heads, hd)
-    v = linear(attn_in, p["v"]).reshape(b, s, cfg.num_kv_heads, hd)
+    if "qkv" in p:
+        # fused projection: one wide kernel call (see fuse_llama_projections)
+        q, k, v = p["qkv"].apply(attn_in)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_kv_heads, hd)
+        v = v.reshape(b, s, cfg.num_kv_heads, hd)
+    else:
+        q = linear(attn_in, p["q"]).reshape(b, s, cfg.num_heads, hd)
+        k = linear(attn_in, p["k"]).reshape(b, s, cfg.num_kv_heads, hd)
+        v = linear(attn_in, p["v"]).reshape(b, s, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -124,8 +131,12 @@ def _block(
     x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
 
     mlp_in = rmsnorm(x, p["post_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(linear(mlp_in, p["gate"]).astype(jnp.float32)).astype(x.dtype)
-    up = linear(mlp_in, p["up"])
+    if "gate_up" in p:
+        gate, up = p["gate_up"].apply(mlp_in)
+        gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+    else:
+        gate = jax.nn.silu(linear(mlp_in, p["gate"]).astype(jnp.float32)).astype(x.dtype)
+        up = linear(mlp_in, p["up"])
     x = x + linear(gate * up, p["down"])
     return x, cache
 
@@ -175,6 +186,47 @@ def llama_forward(
     else:
         logits = linear(x, params["lm_head"])
     return logits, new_caches
+
+
+def fuse_llama_projections(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse q|k|v and gate|up into single wide packed artifacts per layer.
+
+    Exact: per-group quantization is independent per output column, so the
+    fused matmul computes bit-identical columns while streaming one weight
+    (fewer kernel launches, wider N tiles -- measured faster on v5e decode).
+    Only packed (QuantizedTensor) bias-free linears fuse; anything else is
+    left as-is.  Apply before jit on flat (non-stacked) params.
+    """
+    from ..quantize.qtensor import QuantizedTensor, concat_n, stored_spans
+    from .common import FusedLinear
+
+    def try_fuse(p, names):
+        if not all(n in p for n in names):
+            return None
+        ws = [p[n]["w"] for n in names]
+        if not all(isinstance(w, QuantizedTensor) for w in ws):
+            return None
+        if any(p[n].get("b") is not None for n in names):
+            return None
+        try:
+            fused = concat_n(ws)
+        except ValueError:
+            return None
+        return FusedLinear(fused, None, stored_spans(ws))
+
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        qkv = try_fuse(p, ("q", "k", "v"))
+        if qkv is not None:
+            p["qkv"] = qkv
+            del p["q"], p["k"], p["v"]
+        gu = try_fuse(p, ("gate", "up"))
+        if gu is not None:
+            p["gate_up"] = gu
+            del p["gate"], p["up"]
+        layers.append(p)
+    return {**params, "layers": layers}
 
 
 # ------------------------------------------------- scan-over-layers variant

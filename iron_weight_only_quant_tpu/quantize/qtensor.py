@@ -75,3 +75,48 @@ class QuantizedTensor:
         if self.zeros is not None:
             total += self.zeros.size * self.zeros.dtype.itemsize
         return total
+
+
+def concat_n(qts) -> "QuantizedTensor":
+    """Concatenate packed artifacts along the output (N) dimension.
+
+    Per-group quantization is independent per output column, so fusing
+    projections that share an input (q|k|v, gate|up) into one artifact is
+    *exact* -- the fused kernel then streams one wide weight instead of
+    several narrow ones (fewer launches, wider N tiling).  Members may carry
+    N padding; the fused tensor treats stored columns as logical (n_pad=0)
+    and callers slice member outputs by :func:`stored_spans`.
+    """
+    first = qts[0]
+    for qt in qts[1:]:
+        if (qt.spec != first.spec or qt.mode != first.mode
+                or qt.shape[0] != first.shape[0] or qt.k_shards != first.k_shards
+                or qt.scales.shape[0] != first.scales.shape[0]
+                or (qt.zeros is None) != (first.zeros is None)
+                or (qt.side_packed is None) != (first.side_packed is None)):
+            raise ValueError("concat_n: incompatible artifacts")
+    total_n = sum(qt.shape[1] + qt.n_pad for qt in qts)
+    return QuantizedTensor(
+        jnp.concatenate([qt.qweight for qt in qts], axis=-1),
+        jnp.concatenate([qt.scales for qt in qts], axis=-1),
+        None if first.zeros is None
+        else jnp.concatenate([qt.zeros for qt in qts], axis=-1),
+        first.codebook,
+        first.spec,
+        (first.shape[0], total_n),
+        first.mode,
+        k_shards=first.k_shards,
+        n_pad=0,
+        side_packed=None if first.side_packed is None
+        else jnp.concatenate([qt.side_packed for qt in qts], axis=-1),
+    )
+
+
+def stored_spans(qts):
+    """[(start, end)] of each member's *logical* columns inside the stored
+    (padding-inclusive) width of ``concat_n(qts)``'s output."""
+    spans, off = [], 0
+    for qt in qts:
+        spans.append((off, off + qt.shape[1]))
+        off += qt.shape[1] + qt.n_pad
+    return tuple(spans)

@@ -176,3 +176,53 @@ class TestChatTemplate:
         from iron_weight_only_quant_tpu.models.chat import format_chat_prompt
 
         assert format_chat_prompt("raw", "opt-6.7b") == "raw"
+
+
+class TestFusedProjections:
+    """concat_n artifact fusion: exactness of the fused qkv/gate_up path."""
+
+    def test_fused_forward_matches_unfused(self):
+        import jax
+        import numpy as np
+        from bench import build_quantized_llama
+        from iron_weight_only_quant_tpu.config import QuantSpec
+        from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward
+        from iron_weight_only_quant_tpu.models.llama import fuse_llama_projections
+
+        cfg = LlamaConfig(vocab_size=512, hidden_size=512, intermediate_size=1024,
+                          num_layers=2, num_heads=4, num_kv_heads=2,
+                          max_position_embeddings=64)
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+        params = build_quantized_llama(cfg, jax.random.PRNGKey(0), spec,
+                                       jnp.float32)
+        fused = fuse_llama_projections(params)
+        l0 = fused["layers"][0]
+        assert "qkv" in l0 and "q" not in l0
+        assert "gate_up" in l0 and "gate" not in l0
+        toks = jnp.asarray(np.arange(24, dtype=np.int32).reshape(2, 12))
+        a, _ = llama_forward(params, toks, cfg)
+        b, _ = llama_forward(fused, toks, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_concat_n_with_padding_spans(self):
+        import numpy as np
+        from iron_weight_only_quant_tpu.config import QuantSpec
+        from iron_weight_only_quant_tpu.quantize import quantize_tensor
+        from iron_weight_only_quant_tpu.quantize.qtensor import concat_n, stored_spans
+        from iron_weight_only_quant_tpu.ops.qmatmul import quantized_matmul
+
+        spec = QuantSpec(fmt="int", bits=4, group_size=64, symmetric=False)
+        rng = np.random.default_rng(0)
+        k = 128
+        ws = [jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+              for n in (192, 256)]  # 192 pads to 256 stored
+        qts = [quantize_tensor(w, spec, pad_n_to=256) for w in ws]
+        fused = concat_n(qts)
+        spans = stored_spans(qts)
+        x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+        y = quantized_matmul(x, fused)
+        for qt, (a, b) in zip(qts, spans):
+            ref = quantized_matmul(x, qt)
+            np.testing.assert_allclose(np.asarray(y[:, a:b]), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
