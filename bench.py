@@ -195,6 +195,22 @@ def main():
     spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
     key = jax.random.PRNGKey(0)
 
+    def layer_weight_bytes(c, packed: bool) -> float:
+        """HBM bytes a decode step streams per transformer layer."""
+        h, inter, hd = c.hidden_size, c.intermediate_size, c.hd
+        qdim, kvdim = c.num_heads * hd, c.num_kv_heads * hd
+        shapes = [(h, qdim), (h, kvdim), (h, kvdim), (qdim, h),
+                  (h, inter), (h, inter), (inter, h)]
+        total = 0.0
+        for kin, kout in shapes:
+            kout_p = (kout + 511) // 512 * 512  # pad_n_to=512 artifacts
+            if packed:
+                total += kin * kout_p / 2                      # int4 codes
+                total += (kin // 128) * kout_p * 4 * 2         # f32 s+z rows
+            else:
+                total += kin * kout * 2                        # bf16
+        return total
+
     from iron_weight_only_quant_tpu.models.llama import stack_llama_layers
 
     def prep(p):
@@ -220,6 +236,18 @@ def main():
     del p_bf16
     speedup = t_bf16 / t_w4
 
+    # roofline accounting (BASELINE.md: >=80% of roofline on every chip):
+    # slope the two W4 depths for per-layer/fixed split, then compare the
+    # W4 kernel's effective HBM stream against the same-step bf16 dense
+    # stream measured on this chip (the achievable roofline for this access
+    # pattern -- ~87% of the 819 GB/s paper number on the v5e, NOTES.md)
+    per_layer_w4 = (t_step - t_w4) / (cfg.num_layers - ratio_layers)
+    fixed = max(t_w4 - ratio_layers * per_layer_w4, 0.0)
+    per_layer_bf16 = max(t_bf16 - fixed, 1e-9) / ratio_layers
+    w4_gbps = layer_weight_bytes(cfg, True) / per_layer_w4 / 1e9
+    dense_gbps = layer_weight_bytes(cfg, False) / per_layer_bf16 / 1e9
+    roofline_frac = w4_gbps / dense_gbps
+
     result = {
         "metric": f"llama{args.model}-shape W4g128 decode throughput, 1 chip"
         if not args.small else "tiny W4 decode throughput (sanity)",
@@ -230,6 +258,11 @@ def main():
             "per_step_ms": round(t_step * 1e3, 2),
             "batch": batch,
             "speedup_vs_bf16_dense": round(speedup, 3),
+            "roofline_fraction": round(roofline_frac, 3),
+            "w4_stream_gbps": round(w4_gbps, 1),
+            "dense_stream_gbps": round(dense_gbps, 1),
+            "per_layer_us": round(per_layer_w4 * 1e6, 1),
+            "fixed_overhead_us": round(fixed * 1e6, 1),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
             "device": str(jax.devices()[0]),
         },

@@ -121,3 +121,20 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model_path", default=None, help="HF checkpoint dir (safetensors)")
     p.add_argument("--artifact", default=None, help="saved quantized artifact dir")
     p.add_argument("--demo", action="store_true", help="tiny random model")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "default"],
+                   help="jax platform; --demo defaults to cpu (tiny models are "
+                        "dispatch-bound on a tunneled TPU), real runs to the "
+                        "installed default")
+
+
+def apply_platform(args) -> None:
+    """Set the jax platform BEFORE any array op.  Must be called first in
+    every CLI main(); overrides the container sitecustomize default when
+    --platform (or the --demo cpu default) asks for it."""
+    plat = getattr(args, "platform", None)
+    if plat is None and getattr(args, "demo", False):
+        plat = "cpu"
+    if plat in ("cpu", "tpu"):
+        import jax
+
+        jax.config.update("jax_platforms", {"tpu": "axon,cpu"}.get(plat, plat))

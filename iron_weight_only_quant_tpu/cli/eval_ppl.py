@@ -14,7 +14,7 @@ import time
 
 from ..evals import SequentialPPLEvaluator
 from ..utils import append_results
-from .common import (
+from .common import (apply_platform, 
     add_model_args,
     add_quant_args,
     granularity_name,
@@ -34,6 +34,7 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--output", default=None, help="results JSON path")
     args = ap.parse_args(argv)
+    apply_platform(args)
 
     family, cfg, params, fwd = load_model(args)
     results = {}

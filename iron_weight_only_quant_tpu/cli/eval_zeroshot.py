@@ -13,7 +13,7 @@ import json
 from ..evals.lm import EvalLM
 from ..evals.zeroshot import evaluate, get_task, make_table
 from ..utils import append_results
-from .common import add_model_args, add_quant_args, load_model, spec_from_args
+from .common import apply_platform, add_model_args, add_quant_args, load_model, spec_from_args
 
 
 def main(argv=None):
@@ -25,6 +25,7 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--output", default=None)
     args = ap.parse_args(argv)
+    apply_platform(args)
 
     family, cfg, params, fwd = load_model(args)
 

@@ -12,7 +12,7 @@ import argparse
 
 from ..config import EngineConfig, KVCacheConfig, MeshConfig
 from ..engine import InferenceEngine
-from .common import add_model_args, load_model
+from .common import apply_platform, add_model_args, load_model
 
 
 def main(argv=None):
@@ -32,6 +32,7 @@ def main(argv=None):
     ap.add_argument("--model_parallel", type=int, default=1)
     ap.add_argument("--continuous", action="store_true", help="use serve() batching")
     args = ap.parse_args(argv)
+    apply_platform(args)
 
     family, cfg, params, fwd = load_model(args)
     ecfg = EngineConfig(

@@ -14,7 +14,7 @@ import argparse
 
 from ..config import GPTQConfig
 from ..utils import Timer
-from .common import add_model_args, add_quant_args, load_model, spec_from_args
+from .common import apply_platform, add_model_args, add_quant_args, load_model, spec_from_args
 
 
 def main(argv=None):
@@ -26,6 +26,7 @@ def main(argv=None):
                     help="pad stored output dims to this multiple (512 gives "
                          "the fused kernel full-width tiles on shapes like 11008)")
     args = ap.parse_args(argv)
+    apply_platform(args)
 
     family, cfg, params, _fwd = load_model(args)
     w_bit = args.w_bits[0]

@@ -34,13 +34,18 @@ class EvalLM:
     """Scores continuations; truncates from the left to the model window."""
 
     def __init__(self, params, forward: Callable, cfg, max_len: int = 2048,
-                 batch_size: int = 8, pad_token: int = 0):
+                 batch_size: int = 8, pad_token: int = 0,
+                 eot_token_id: int | None = None):
         self.params = params
         self.forward = forward
         self.cfg = cfg
         self.max_len = min(max_len, getattr(cfg, "max_position_embeddings", max_len))
         self.batch_size = batch_size
         self.pad_token = pad_token
+        # end-of-text id used to prime empty contexts / rolling windows
+        # (the reference conditions the first token on <eos>,
+        # gptq/zeroShot/models/models_utils.py:192-196, 216)
+        self.eot_token_id = pad_token if eot_token_id is None else eot_token_id
 
     def loglikelihood(
         self, pairs: Sequence[Tuple[List[int], List[int]]]
@@ -59,7 +64,7 @@ class EvalLM:
                 ctx, cont = pairs[i]
                 if not cont:
                     raise ValueError("empty continuation")
-                ctx = list(ctx) if ctx else [self.pad_token]
+                ctx = list(ctx) if ctx else [self.eot_token_id]
                 full = (ctx + list(cont))[-self.max_len :]
                 cont_start = len(full) - len(cont)
                 seqs.append(full)
@@ -82,10 +87,45 @@ class EvalLM:
                 )
         return results
 
+    def rolling_windows(
+        self, tokens: List[int]
+    ) -> List[Tuple[List[int], List[int]]]:
+        """Split a document into disjoint (context, continuation) windows
+        that together score EVERY token once.
+
+        Mirrors the reference's get_rolling_token_windows(context_len=1) +
+        make_disjoint_window (gptq/zeroShot/models/models_utils.py:480-518,
+        453-456): the first window conditions on the EOT prefix token and
+        predicts up to ``max_len`` tokens; each later window conditions on
+        exactly one preceding token and predicts the next ``max_len`` chunk.
+        """
+        if not tokens:
+            return []
+        max_len = self.max_len
+        windows: List[Tuple[List[int], List[int]]] = []
+        first = min(max_len, len(tokens))
+        windows.append(([self.eot_token_id], tokens[:first]))
+        predicted = first
+        while predicted < len(tokens):
+            n = min(len(tokens) - predicted, max_len)
+            end = predicted + n
+            # full-width input window, then trim the overlap so only the
+            # last n tokens are scored (make_disjoint_window semantics):
+            # short tail windows KEEP their extra left context
+            inp = tokens[end - max_len - 1 : end - 1]
+            windows.append((inp[: len(inp) - (n - 1)], tokens[end - n : end]))
+            predicted = end
+        return windows
+
     def loglikelihood_rolling(self, tokens: List[int]) -> float:
-        """Full-sequence nll (for perplexity-style tasks)."""
-        out = self.loglikelihood([([self.pad_token], tokens)])
-        return out[0][0]
+        """Full-document nll: sum of disjoint rolling windows, so documents
+        longer than the model window are scored in full (the reference's
+        loglikelihood_rolling, models_utils.py:206-238) instead of
+        silently truncating to the last ``max_len`` tokens."""
+        windows = self.rolling_windows(list(tokens))
+        if not windows:
+            return 0.0
+        return float(sum(ll for ll, _ in self.loglikelihood(windows)))
 
     def greedy_until(
         self,
@@ -102,7 +142,7 @@ class EvalLM:
         """
         outs: List[List[int]] = []
         for ctx, stops in requests:
-            ctx = list(ctx) if ctx else [self.pad_token]
+            ctx = list(ctx) if ctx else [self.eot_token_id]
             gen: List[int] = []
             for _ in range(max_gen):
                 window = (ctx + gen)[-self.max_len :]

@@ -68,9 +68,15 @@ def make_lm_eval_model(
             pairs = []
             for req in requests:
                 context, continuation = self._args(req)[:2]
-                if not context:
+                if not context and eot_token:
                     context = eot_token
-                pairs.append(self._encode_pair(context, continuation))
+                ctx_ids, cont_ids = self._encode_pair(context, continuation) \
+                    if context else ([], encode(continuation))
+                if not ctx_ids:
+                    # prime on the model's real EOT id, like the reference
+                    # harness (models_utils.py:192-196)
+                    ctx_ids = [self.evallm.eot_token_id]
+                pairs.append((ctx_ids, cont_ids))
             return self.evallm.loglikelihood(pairs)
 
         def loglikelihood_rolling(self, requests) -> List[float]:
@@ -122,7 +128,12 @@ def run_lm_eval(
 
     encode = lambda s: tokenizer(s, add_special_tokens=False).input_ids  # noqa: E731
     decode = tokenizer.decode
-    model = make_lm_eval_model(evallm, encode, decode)
+    # derive the real EOT token so empty contexts are primed correctly
+    eot = getattr(tokenizer, "eos_token", None) or ""
+    eot_id = getattr(tokenizer, "eos_token_id", None)
+    if eot_id is not None:
+        evallm.eot_token_id = int(eot_id)
+    model = make_lm_eval_model(evallm, encode, decode, eot_token=eot)
     return evaluator.simple_evaluate(
         model=model, tasks=list(tasks), num_fewshot=num_fewshot, limit=limit,
         **simple_evaluate_kwargs,

@@ -67,7 +67,13 @@ class MultipleChoiceTask(Task):
     def process_results(self, doc, results):
         lls = [r[0] for r in results]
         gold = self.gold(doc)
-        lengths = [max(1, len(c)) for c in self.choices(doc)]
+        # acc_norm normalizes by the RAW choice byte length, excluding the
+        # prompt's leading separator space (reference tasks_utils.py:386:
+        # completion_len = len(choice) where the request adds " " + choice)
+        lengths = [
+            max(1, len(c[1:] if c.startswith(" ") else c))
+            for c in self.choices(doc)
+        ]
         normed = [ll / ln for ll, ln in zip(lls, lengths)]
         return {
             "acc": float(max(range(len(lls)), key=lls.__getitem__) == gold),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional
 
+from .. import metrics as M
 from .base import MultipleChoiceTask, Request, Task
 
 
@@ -50,6 +51,10 @@ class PIQA(_DocTask, MultipleChoiceTask):
 
 
 class _ARC(_DocTask, MultipleChoiceTask):
+    # Some answerKeys are numeric strings '1'-'5'; the reference maps them
+    # back to letters before indexing (gptq/zeroShot/tasks/arc.py:54-64).
+    _NUM_TO_LETTER = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
+
     def context(self, doc):
         return f"Question: {doc['question']}\nAnswer:"
 
@@ -57,7 +62,8 @@ class _ARC(_DocTask, MultipleChoiceTask):
         return [" " + t for t in doc["choices"]["text"]]
 
     def gold(self, doc):
-        return doc["choices"]["label"].index(doc["answerKey"])
+        key = self._NUM_TO_LETTER.get(doc["answerKey"], doc["answerKey"])
+        return ["A", "B", "C", "D", "E"].index(key)
 
 
 class ARCEasy(_ARC):
@@ -85,6 +91,9 @@ class BoolQ(_DocTask, MultipleChoiceTask):
 
 
 class CB(_DocTask, MultipleChoiceTask):
+    """CommitmentBank: acc + the reference's headline 3-class averaged F1
+    (gptq/zeroShot/tasks/superglue.py:141-166)."""
+
     name = "cb"
     dataset = ("super_glue", "cb", "validation")
 
@@ -96,6 +105,20 @@ class CB(_DocTask, MultipleChoiceTask):
 
     def gold(self, doc):
         return int(doc["label"])
+
+    def process_results(self, doc, results):
+        lls = [r[0] for r in results]
+        pred = max(range(len(lls)), key=lls.__getitem__)
+        gold = self.gold(doc)
+        return {"acc": float(pred == gold), "f1": (pred, gold)}
+
+    def aggregate(self, per_doc):
+        accs = [d["acc"] for d in per_doc]
+        return {
+            "acc": M.mean(accs),
+            "acc_stderr": M.mean_stderr(accs),
+            "f1": M.cb_multi_f1([d["f1"] for d in per_doc]),
+        }
 
 
 class COPA(_DocTask, MultipleChoiceTask):
@@ -183,44 +206,94 @@ class StoryCloze(_DocTask, MultipleChoiceTask):
         return int(doc["answer_right_ending"]) - 1
 
 
-class MultiRC(_DocTask, MultipleChoiceTask):
-    """Binary correctness judgment per (question, answer) candidate."""
+class MultiRC(_DocTask, Task):
+    """Binary correctness judgment per (question, answer) candidate.
+
+    Mirrors the reference task exactly (gptq/zeroShot/tasks/superglue.py:
+    231-282): two continuations per candidate ("{answer}\\nIs the answer
+    correct? yes|no"), aggregated with ``acc_all`` — a question counts only
+    if every one of its answer candidates is judged correctly.
+    """
 
     name = "multirc"
     dataset = ("super_glue", "multirc", "validation")
 
     def context(self, doc):
-        return (
-            f"{doc['paragraph']}\nQuestion: {doc['question']}\n"
-            f"Answer: {doc['answer']}\nIs the answer correct?"
-        )
+        return f"{doc['paragraph']}\nQuestion: {doc['question']}\nAnswer:"
 
-    def choices(self, doc):
-        return [" no", " yes"]
+    @staticmethod
+    def format_answer(answer, label):
+        # superglue.py:259-262
+        label_str = "yes" if label else "no"
+        return f"{answer}\nIs the answer correct? {label_str}"
 
-    def gold(self, doc):
-        return int(doc["label"])
+    def requests(self, doc):
+        ctx = self.context(doc)
+        return [
+            Request(ctx, " " + self.format_answer(doc["answer"], True)),
+            Request(ctx, " " + self.format_answer(doc["answer"], False)),
+        ]
+
+    def process_results(self, doc, results):
+        ll_true, ll_false = results[0][0], results[1][0]
+        return {"acc": (int(ll_true > ll_false), doc)}
+
+    def aggregate(self, per_doc):
+        items = [d["acc"] for d in per_doc]
+        return {"acc": M.acc_all(items), "acc_stderr": M.acc_all_stderr(items)}
 
 
 class ReCoRD(_DocTask, Task):
-    """Cloze over entity candidates: score the query with @placeholder
-    substituted by each candidate; accuracy = argmax hits a gold answer."""
+    """Cloze over entity candidates (gptq/zeroShot/tasks/superglue.py:
+    285-369): passage formatted with @highlight bullets, entities/answers
+    dedup+sorted, and per-example SQuAD token F1 + exact match on the
+    max-likelihood entity."""
 
     name = "record"
     dataset = ("super_glue", "record", "validation")
 
+    @classmethod
+    def _process_doc(cls, doc):
+        # superglue.py:313-320
+        return {
+            "passage": doc["passage"],
+            "query": doc["query"],
+            "entities": sorted(set(doc["entities"])),
+            "answers": sorted(set(doc["answers"])),
+        }
+
+    def docs(self):
+        return [self._process_doc(d) for d in super().docs()]
+
+    def context(self, doc):
+        # superglue.py:322-327
+        initial_text, *highlights = doc["passage"].strip().split("\n@highlight\n")
+        text = initial_text + "\n\n"
+        for highlight in highlights:
+            text += f"  - {highlight}.\n"
+        return text
+
+    @staticmethod
+    def format_answer(query, entity):
+        # superglue.py:329-331
+        return f"  - {query}".replace("@placeholder", entity)
+
     def requests(self, doc):
-        passage = doc["passage"]
+        ctx = self.context(doc)
         return [
-            Request(passage, "\n" + doc["query"].replace("@placeholder", ent))
+            Request(ctx, self.format_answer(doc["query"], ent))
             for ent in doc["entities"]
         ]
 
     def process_results(self, doc, results):
         lls = [r[0] for r in results]
         best = max(range(len(lls)), key=lls.__getitem__)
-        correct = doc["entities"][best] in doc["answers"]
-        return {"acc": float(correct)}
+        prediction = doc["entities"][best]
+        golds = doc["answers"]
+        return {
+            "f1": M.metric_max_over_ground_truths(M.squad_f1, prediction, golds),
+            "em": M.metric_max_over_ground_truths(M.squad_em, prediction, golds),
+        }
 
 
 class Lambada(_DocTask, Task):

@@ -72,6 +72,14 @@ def _find_params(
     xmin = jnp.where(degenerate, -1.0, xmin)
     xmax = jnp.where(degenerate, 1.0, xmax)
     if trits:
+        if mse:
+            # The reference runs the MSE shrink loop even when maxq<0, which
+            # is degenerate there (negative scale1, gptq/quant.py:78-95);
+            # this framework rejects the combination instead of silently
+            # dropping the flag.
+            raise ValueError(
+                "mse grid search is not supported in trits (ternary) mode"
+            )
         return xmax, xmin
     scale = (xmax - xmin) / maxq
     if sym:

@@ -102,8 +102,9 @@ class TestTasks:
 
     def test_multirc_and_record(self, lm):
         multirc_docs = [{"paragraph": "cats are mammals", "question": "is a cat a mammal",
-                         "answer": "yes it is", "label": 1}]
-        record_docs = [{"passage": "Alice met Bob in Paris.",
+                         "answer": "yes it is", "label": 1,
+                         "idx": {"paragraph": 0, "question": 0}}]
+        record_docs = [{"passage": "Alice met Bob in Paris.\n@highlight\nAlice won",
                         "query": "@placeholder traveled to Paris.",
                         "entities": ["Alice", "Bob"], "answers": ["Alice"]}]
         res = evaluate(
@@ -113,7 +114,8 @@ class TestTasks:
             ToyTokenizer(),
         )
         assert 0.0 <= res["multirc"]["acc"] <= 1.0
-        assert 0.0 <= res["record"]["acc"] <= 1.0
+        assert 0.0 <= res["record"]["f1"] <= 1.0
+        assert 0.0 <= res["record"]["em"] <= 1.0
 
     def test_perfect_model_scores_100(self, lm, model):
         """A task whose gold continuation is the model's own greedy output."""
