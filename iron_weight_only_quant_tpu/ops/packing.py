@@ -36,7 +36,7 @@ import jax.numpy as jnp
 # storage bits -> (layout name, codes per byte)
 PACKED_LAYOUTS = {
     2: ("nib2", 4),
-    3: ("bp3", 8),   # 3 bit-planes, 8 codes/byte/plane -> 3 bytes per 8 codes
+    3: ("s21", 8),   # 2-bit quads + MSB bit-plane -> 3 bytes per 8 codes
     4: ("nib4", 2),
     8: ("byte", 1),
 }
@@ -62,20 +62,29 @@ def pack_codes(codes: jnp.ndarray, bits: int) -> jnp.ndarray:
     if k % per_byte != 0:
         raise ValueError(f"K={k} must divide {per_byte} for {bits}-bit packing")
     span = k // per_byte
-    if layout == "bp3":
-        # 3 bit-planes stacked plane-major: plane j, row r holds bit j of the
-        # codes at logical rows {r, r+K/8, ..., r+7K/8} in its 8 bit lanes --
-        # the reference packs 32 codes into 3 int32 words with codewords
-        # split across words (gptq/quant.py:149-184); this split-8 scheme
-        # keeps every slab contiguous for TPU unpacking instead.
-        planes = []
-        for j in range(3):
-            plane = jnp.zeros((span,) + codes.shape[1:], jnp.int32)
-            for i in range(8):
-                bit = (codes[i * span : (i + 1) * span] >> j) & 1
-                plane = plane | (bit << i)
-            planes.append(plane)
-        return jnp.concatenate(planes, axis=0).astype(jnp.uint8)
+    if layout == "s21":
+        # 2+1 split: array A [K/4, N] packs the codes' low 2 bits as byte
+        # fields (field j = logical K-quarter j; the top field is stored
+        # with its high bit flipped so ``i8(byte & 0xC0) == 64*f - 128``,
+        # like the int4 high nibble), and array B [K/8, N] packs the MSB as
+        # a bit-plane (bit i = logical K-eighth i).  Exactly 3 bits/code,
+        # every slab contiguous, and the fused kernel decodes with one mask
+        # (+cast) per element per array -- the reference packs 32 codes into
+        # 3 int32 words with codewords split across word boundaries
+        # (gptq/quant.py:149-184), built for CUDA in-register shuffling.
+        qa, qb = k // 4, k // 8
+        lo = codes & 3
+        hi = (codes >> 2) & 1
+        a = jnp.zeros((qa,) + codes.shape[1:], jnp.int32)
+        for j in range(4):
+            f = lo[j * qa : (j + 1) * qa]
+            if j == 3:
+                f = f ^ 2
+            a = a | (f << (2 * j))
+        b = jnp.zeros((qb,) + codes.shape[1:], jnp.int32)
+        for i in range(8):
+            b = b | (hi[i * qb : (i + 1) * qb] << i)
+        return jnp.concatenate([a, b], axis=0).astype(jnp.uint8)
     out = jnp.zeros((span,) + codes.shape[1:], jnp.int32)
     for i in range(per_byte):
         slab = codes[i * span : (i + 1) * span]
@@ -94,16 +103,18 @@ def unpack_codes(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
     p = packed.astype(jnp.int32)
     if layout == "byte":
         return ((p & 0xFF) ^ 0x80) - 0x80  # sign-extend the int8 pattern
-    if layout == "bp3":
-        span = k // 8
-        planes = [p[j * span : (j + 1) * span] for j in range(3)]
-        slabs = []
-        for i in range(8):
-            code = jnp.zeros_like(planes[0])
-            for j in range(3):
-                code = code | (((planes[j] >> i) & 1) << j)
-            slabs.append(code)
-        return jnp.concatenate(slabs, axis=0)
+    if layout == "s21":
+        qa, qb = k // 4, k // 8
+        a, b = p[:qa], p[qa : qa + qb]
+        lo_slabs = []
+        for j in range(4):
+            f = (a >> (2 * j)) & 3
+            if j == 3:
+                f = f ^ 2
+            lo_slabs.append(f)
+        lo = jnp.concatenate(lo_slabs, axis=0)
+        hi = jnp.concatenate([(b >> i) & 1 for i in range(8)], axis=0)
+        return lo | (hi << 2)
     mask = (1 << bits) - 1
     slabs = []
     for i in range(per_byte):

@@ -87,7 +87,8 @@ def _pick_tm(m: int) -> int:
 
 
 def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
-                 mult: float = 1.0, zshift: float = 0.0):
+                 mult: float = 1.0, zshift: float = 0.0,
+                 apply_z: bool = True):
     """Accumulate one K-slab's contribution with scales in the epilogue.
 
     The dequant product is refactored so the MXU consumes *raw stored codes*
@@ -105,6 +106,11 @@ def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
     ``load_sz(r)`` loads the (scale, zero) rows for group-row ``r`` of this
     K-slab (kept as a callback so stacked [L, rows, N] side-info refs can be
     indexed the same way as flat [rows, N] ones).
+
+    ``apply_z=False`` skips the affine zero-point correction entirely -- used
+    by slabs that carry only PART of each code's bits (the 3-bit kernel's
+    MSB plane: the full code is lo + 4*hi, and the single z correction is
+    owned by the lo pass).
     """
     int_path = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
     for r in range(rs):
@@ -115,14 +121,19 @@ def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
             part = jnp.dot(xg, qg, preferred_element_type=jnp.int32).astype(
                 jnp.float32
             )
+        else:
+            part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
+        s, z = load_sz(r)
+        s = s.astype(jnp.float32)
+        if not apply_z:
+            acc = acc + part * (s * mult)
+            continue
+        if int_path:
             xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
                 jnp.float32
             )
         else:
-            part = jnp.dot(xg, qg, preferred_element_type=jnp.float32)
             xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-        s, z = load_sz(r)
-        s = s.astype(jnp.float32)
         z = z.astype(jnp.float32)
         acc = acc + part * (s * mult) - xsum * (s * (z - zshift))
     return acc
@@ -192,6 +203,72 @@ def _int4_kernel_packed(x_lo_ref, x_hi_ref, qw_ref, sz_ref, o_ref, acc_ref,
                o_ref, acc_ref, out_dtype, rs)
 
 
+def _int3_kernel(*refs, rsa: int, rsb: int, nk: int, out_dtype):
+    """Fused 3-bit (s21-packed) dequant-matmul.
+
+    The TPU counterpart of the reference's one native kernel, the 3-bit CUDA
+    mat-vec (quant_cuda_kernel.cu:88-165).  refs layout:
+      x_a0..x_a3 (4 x-slabs for the 2-bit quads), x_b0..x_b7 (8 x-slabs for
+      the MSB plane), qa_ref [tpa, tn], qb_ref [tpb, tn], s_ref, z_ref,
+      o_ref, acc_ref.
+
+    Decode algebra (see packing.py s21): code q = f + 4*h with the low
+    2-bit field f in A (field j value ``f<<2j``, top field stored flipped so
+    ``i8(byte & 0xC0) = 64f - 128``) and MSB h in B (bit i value ``h<<i``,
+    bit 7 reading as ``-128h`` through the i8 bitcast).  Every mask result
+    feeds the MXU raw; all power-of-two descales and the +2 flip shift fold
+    into the per-group epilogue (mult/zshift), and the zero-point correction
+    is owned by the A pass (each k appears in exactly one A field).
+    """
+    xs_a = refs[0:4]
+    xs_b = refs[4:12]
+    qa_ref, qb_ref, s_ref, z_ref, o_ref, acc_ref = refs[12:18]
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = qa_ref[:]
+    a_i8 = jax.lax.bitcast_convert_type(a, jnp.int8)
+    b = qb_ref[:]
+    b_i8 = jax.lax.bitcast_convert_type(b, jnp.int8)
+    ga = a.shape[0] // rsa
+    gb = b.shape[0] // rsb
+    dtype = xs_a[0].dtype
+    acc = acc_ref[:]
+
+    # A: low 2 bits; fields 0-2 unsigned-masked, field 3 via the flip trick
+    a_fields = [
+        ((a & 0x03).astype(jnp.int8), 1.0, 0.0),
+        ((a & 0x0C).astype(jnp.int8), 1.0 / 4.0, 0.0),
+        ((a & 0x30).astype(jnp.int8), 1.0 / 16.0, 0.0),
+        (a_i8 & jnp.int8(-64), 1.0 / 64.0, 2.0),
+    ]
+    for j, (codes, mult, zshift) in enumerate(a_fields):
+        acc = _group_accum(acc, xs_a[j][:], codes,
+                           _flat_sz(s_ref, z_ref, (j * nk + kk) * rsa),
+                           rsa, ga, dtype, mult=mult, zshift=zshift)
+
+    # B: MSB plane, logical weight 4; bit 7 reads negative through i8
+    for i in range(8):
+        if i < 7:
+            codes = (b & (1 << i)).astype(jnp.int8)
+            mult = 4.0 / (1 << i)
+        else:
+            codes = b_i8 & jnp.int8(-128)
+            mult = -4.0 / 128.0
+        acc = _group_accum(acc, xs_b[i][:], codes,
+                           _flat_sz(s_ref, z_ref, (i * nk + kk) * rsb),
+                           rsb, gb, dtype, mult=mult, apply_z=False)
+
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _int8_body(x_ref, qw_ref, sz, o_ref, acc_ref, out_dtype, rs):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -223,6 +300,55 @@ def _int8_kernel_packed(x_ref, qw_ref, sz_ref, o_ref, acc_ref,
                acc_ref, out_dtype, rs)
 
 
+def _plan_tiles3(n: int, k: int, rows: int, tm: int):
+    """(tn, tpb, rsa, rsb, g_target) for the s21 3-bit kernel.
+
+    tpb tiles the MSB plane (K/8 rows); the 2-bit array tile is 2*tpb.  Same
+    policy as _plan_tiles: largest tile under the VMEM knee with a >=4-deep
+    grid.  Returns None when no feasible plan exists (caller falls back).
+    """
+    qb = k // 8
+    g = k // rows if rows > 1 else None
+    best = None
+    for tn in (2048, 1024, 512, 256, 128):
+        if n % tn != 0:
+            continue
+        # largest 128-multiple tpb dividing qb, group-aligned, under the cap
+        tpb = 0
+        cand = 128
+        while cand <= qb:
+            if qb % cand == 0 and 3 * cand * tn <= _TILE_BYTES_CAP:
+                if g is None or (g <= cand and cand % g == 0) or \
+                        (g > cand and g % cand == 0):
+                    tpb = cand
+            cand += 128
+        if not tpb:
+            continue
+        steps = (n // tn) * (qb // tpb)
+        feasible = steps >= 4
+        score = (1 if feasible else 0, 3 * tpb * tn, tn)
+        if best is None or score > best[0]:
+            best = (score, tn, tpb)
+    if best is None:
+        return None
+    _, tn, tpb = best
+    g_target = tpb if g is None else min(g, tpb)
+    return tn, tpb, (2 * tpb) // g_target, tpb // g_target, g_target
+
+
+def _layout3_supported(qt: QuantizedTensor, rows: int) -> bool:
+    k, n = qt.shape
+    n = n + qt.n_pad
+    if k % 8 or (k // 8) % 128:
+        return False
+    if rows > 1:
+        g = k // rows
+        # slab boundaries (multiples of K/8) must be group-aligned
+        if g < 32 or g > k // 8 or (k // 8) % g:
+            return False
+    return _plan_tiles3(n, k, rows, 16) is not None
+
+
 def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
     if qt.mode != "affine" or qt.spec.fmt not in ("int", "bfp"):
         return False
@@ -238,6 +364,10 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
     if qt.zeros is not None and qt.zeros.dtype.itemsize != 4:
         return False
     bits = qt.spec.storage_bits
+    if bits == 3:
+        # flat kernel only (stacked 3-bit falls back to the XLA path)
+        return (qt.qweight.ndim == 2 and qt.side_packed is None
+                and _layout3_supported(qt, rows))
     if bits not in (4, 8):
         return False
     k, n = qt.shape
@@ -381,6 +511,51 @@ def _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret,
     )
 
 
+def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret):
+    """pallas_call plumbing for the s21 3-bit kernel: the packed array is
+    passed twice (A-rows view + B-rows view) and x twelve times (one slab
+    per 2-bit field and per MSB bit) -- index maps select the slices, so
+    HBM still streams each byte exactly once."""
+    tn, tpb, rsa, rsb, g_target = _plan_tiles3(n, k, rows, tm)
+    tpa = 2 * tpb
+    qb = k // 8
+    nk = qb // tpb
+    scales = _normalize_side(qt.scales, k, n, g_target)
+    zeros = _normalize_side(qt.zeros, k, n, g_target)
+    srows = scales.shape[0]
+
+    grid = (m_pad // tm, n // tn, nk)
+    common = _common_params(tm, tn, m_pad, n, k, 3 * qb, srows, out_dtype,
+                            interpret)
+    side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
+    kernel = functools.partial(_int3_kernel, rsa=rsa, rsb=rsb, nk=nk,
+                               out_dtype=out_dtype)
+
+    def a_spec(j):
+        # x block row (in tpa units) for 2-bit field j: j*(K/4)/tpa + kk
+        return pl.BlockSpec((tm, tpa), lambda i, _j, kk, s=j * nk: (i, s + kk))
+
+    def b_spec(i_slab):
+        return pl.BlockSpec((tm, tpb),
+                            lambda i, _j, kk, s=i_slab * nk: (i, s + kk))
+
+    in_specs = (
+        [a_spec(j) for j in range(4)]
+        + [b_spec(i) for i in range(8)]
+        + [
+            pl.BlockSpec((tpa, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((tpb, tn),
+                         lambda i, j, kk, s=(k // 4) // tpb: (s + kk, j)),
+            side_spec,
+            side_spec,
+        ]
+    )
+    operands = [x2] * 12 + [qt.qweight, qt.qweight, scales, zeros]
+    return pl.pallas_call(kernel, grid=grid, in_specs=in_specs, **common)(
+        *operands
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
 def fused_quantized_matmul(
     x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False,
@@ -399,6 +574,9 @@ def fused_quantized_matmul(
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
 
     rows = qt.scales.shape[0]
+    if bits == 3:
+        out = _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret)
+        return _finish(out, x, qt, m, m_pad, out_scale)
     kp = k // 2 if bits == 4 else k
     tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
                                         slabs=2 if bits == 4 else 1)

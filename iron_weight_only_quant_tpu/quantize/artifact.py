@@ -21,7 +21,9 @@ import numpy as np
 from ..config import AlignSpec, FloatFormat, QuantSpec
 from .qtensor import QuantizedTensor
 
-_FORMAT_VERSION = 1
+# v2: 3-bit packing switched from bit-planes (bp3) to the s21 layout
+# (2-bit quads + MSB plane) consumed by the fused kernel
+_FORMAT_VERSION = 2
 
 
 def _spec_to_dict(spec: QuantSpec) -> dict:
@@ -93,6 +95,12 @@ def load_artifact(path: str, dtype=None) -> Tuple[str, Any, Dict[str, Any]]:
     """Returns (family, cfg, params)."""
     p = Path(path)
     manifest = json.loads((p / "manifest.json").read_text())
+    if manifest.get("version", 1) != _FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format v{manifest.get('version', 1)} != "
+            f"v{_FORMAT_VERSION}; re-run quantization (the sub-byte packing "
+            "layout changed)"
+        )
     data = np.load(p / "params.npz")
 
     from ..models.bloom import BloomConfig

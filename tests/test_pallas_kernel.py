@@ -204,3 +204,56 @@ def test_packed_sides_bf16_roundtrip(weight):
     z = (bits & 0xFFFF0000).view(np.float32)
     np.testing.assert_array_equal(s, np.asarray(qt.scales))
     np.testing.assert_array_equal(z, np.broadcast_to(np.asarray(qt.zeros), s.shape))
+
+
+class TestInt3Kernel:
+    """Fused s21 3-bit kernel (the reference's one native component is the
+    3-bit CUDA mat-vec, quant_cuda_kernel.cu:88-165)."""
+
+    SPECS3 = [
+        QuantSpec(fmt="int", bits=3, group_size=128, symmetric=False),
+        QuantSpec(fmt="int", bits=3, group_size=128, symmetric=True),
+        QuantSpec(fmt="int", bits=3, group_size=PER_CHANNEL, symmetric=False),
+        QuantSpec(fmt="int", bits=3, group_size=PER_TENSOR, symmetric=True),
+    ]
+
+    @pytest.fixture(scope="class")
+    def weight3(self):
+        rng = np.random.default_rng(7)
+        # K/8 = 128 rows: the smallest fused-3-bit-supported K
+        return jnp.asarray(rng.normal(size=(1024, 256)).astype(np.float32) * 0.05)
+
+    @pytest.mark.parametrize(
+        "spec", SPECS3,
+        ids=lambda s: f"g{s.group_size}{'s' if s.symmetric else 'u'}",
+    )
+    @pytest.mark.parametrize("m", [1, 16])
+    def test_fused3_matches_xla(self, weight3, spec, m):
+        rng = np.random.default_rng(8)
+        qt = quantize_tensor(weight3, spec)
+        assert qt.spec.storage_bits == 3
+        assert kernel_supported(qt), "3-bit fused kernel must support this"
+        x = jnp.asarray(rng.normal(size=(m, 1024)).astype(np.float32))
+        y_ref = x @ dequantize_weight(qt)
+        y = fused_quantized_matmul(x, qt, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_fused3_w4a8_path(self, weight3):
+        rng = np.random.default_rng(9)
+        spec = QuantSpec(fmt="int", bits=3, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight3, spec)
+        x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
+        y_ref = x @ dequantize_weight(qt)
+        y = fused_quantized_matmul(x, qt, interpret=True, activation_bits=8)
+        rel = np.linalg.norm(np.asarray(y) - np.asarray(y_ref)) / \
+            np.linalg.norm(np.asarray(y_ref))
+        assert rel < 0.02  # int8 activation quant error only
+
+    def test_misaligned_group_rejected(self):
+        # K/8 = 137.6 groups... K=1088: K/8=136, g=128 does not divide -> XLA
+        rng = np.random.default_rng(10)
+        w = jnp.asarray(rng.normal(size=(1088, 256)).astype(np.float32))
+        qt = quantize_tensor(w, QuantSpec(fmt="int", bits=3, group_size=64,
+                                          symmetric=False))
+        assert not kernel_supported(qt)
