@@ -91,6 +91,14 @@ class InferenceEngine:
             if family is None:
                 raise ValueError("family required for sharded engines")
             self.mesh = make_mesh(engine_cfg.mesh)
+            if tp_block:
+                # shard_map gives row-parallel linears a bare row SLICE of
+                # the packed array; sub-byte pairing must be confined to
+                # each shard first (GSPMD, by contrast, keeps the logical
+                # computation global, so k_shards=1 artifacts are fine there)
+                params = self._repack_row_parallel(
+                    params, family, self.mesh.shape["model"]
+                )
             specs = param_specs(family, params)
             self.params = apply_sharding(params, specs, self.mesh)
             if tp_block:
@@ -115,6 +123,26 @@ class InferenceEngine:
             self.params = params
 
     # ----------------------------------------------------------- internals
+
+    @staticmethod
+    def _repack_row_parallel(params, family: str, d: int):
+        """Repack row-parallel packed artifacts to k_shards=d (see
+        quantize.qtensor.repack_k_shards)."""
+        from ..parallel.tp_block import _FAMILY_LINEARS
+        from ..quantize.qtensor import QuantizedTensor, repack_k_shards
+
+        _, row_keys = _FAMILY_LINEARS[family]
+        layers = []
+        for blk in params.get("layers", []):
+            nb = dict(blk)
+            for key in row_keys:
+                lin = nb.get(key)
+                if isinstance(lin, dict) and isinstance(
+                    lin.get("w"), QuantizedTensor
+                ):
+                    nb[key] = {**lin, "w": repack_k_shards(lin["w"], d)}
+            layers.append(nb)
+        return {**params, "layers": layers}
 
     def _n_kv_heads(self):
         return getattr(self.cfg, "num_kv_heads", getattr(self.cfg, "num_heads"))

@@ -110,6 +110,32 @@ def _linear_specs(lin, row: bool):
     return out
 
 
+def _cache_view_spec(cache, axis: str):
+    """Partition spec matching one per-layer cache view: every [B, T, H, ...]
+    array shards on the head axis (the TP axis carries KV heads)."""
+    hspec = P(None, None, axis, None)
+    if isinstance(cache, KVCacheView):
+        return KVCacheView(hspec, hspec, P())
+    from ..engine.kvcache import QuantKVCacheView
+
+    if isinstance(cache, QuantKVCacheView):
+        return QuantKVCacheView(
+            k_codes=hspec, k_scales=hspec, k_zeros=hspec,
+            v_codes=hspec, v_scales=hspec, v_zeros=hspec, length=P(),
+            bits=cache.bits, group=cache.group, packed=cache.packed,
+        )
+    raise NotImplementedError(
+        f"tp_block does not support {type(cache).__name__} caches "
+        "(paged caches serve through the GSPMD engine path)"
+    )
+
+
+def _cache_specs(caches, axis: str):
+    if caches is None:
+        return None
+    return [_cache_view_spec(c, axis) for c in caches]
+
+
 def _local_view(lin, d: int, row: bool):
     """Rebuild a local QuantizedTensor with local logical shape inside the
     shard_map body (static metadata must match the local arrays)."""
@@ -206,11 +232,7 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
         }
         if "lm_head" in params:
             param_specs_tree["lm_head"] = _linear_specs(params["lm_head"], row=False)
-        cache_spec = (
-            [KVCacheView(P(None, None, axis, None), P(None, None, axis, None), P())
-             for _ in caches]
-            if caches is not None else None
-        )
+        cache_spec = _cache_specs(caches, axis)
 
         if cfg.tie_word_embeddings:
             raise NotImplementedError("tied lm head under tp_block")
@@ -341,11 +363,7 @@ def make_tp_opt_forward(cfg, mesh: Mesh, axis: str = "model"):
         }
         if "final_norm" in params:
             param_specs_tree["final_norm"] = _rep_spec(params["final_norm"])
-        cache_spec = (
-            [KVCacheView(P(None, None, axis, None), P(None, None, axis, None), P())
-             for _ in caches]
-            if caches is not None else None
-        )
+        cache_spec = _cache_specs(caches, axis)
 
         @partial(
             shard_map, mesh=mesh,
@@ -426,11 +444,7 @@ def make_tp_bloom_forward(cfg, mesh: Mesh, axis: str = "model"):
             "layers": _layer_specs(params, row_keys={"o", "fc2"}),
             "final_norm": _rep_spec(params["final_norm"]),
         }
-        cache_spec = (
-            [KVCacheView(P(None, None, axis, None), P(None, None, axis, None), P())
-             for _ in caches]
-            if caches is not None else None
-        )
+        cache_spec = _cache_specs(caches, axis)
 
         @partial(
             shard_map, mesh=mesh,

@@ -77,6 +77,27 @@ class QuantizedTensor:
         return total
 
 
+def repack_k_shards(qt: QuantizedTensor, k_shards: int) -> QuantizedTensor:
+    """Re-pack an artifact so sub-byte code pairing is confined to each of
+    ``k_shards`` contiguous K segments.
+
+    Row-parallel tensor sharding under shard_map slices the packed array at
+    segment boundaries; a ``k_shards=1`` artifact pairs code (k, k+K/2) in
+    one byte, so a bare row slice is NOT self-contained -- it must be
+    repacked first (one unpack/pack pass, done once at engine setup).
+    """
+    if qt.k_shards == k_shards:
+        return qt
+    from ..ops.packing import pack_codes_sharded, unpack_codes_sharded
+    from ..ops.qmatmul import packed_bits
+
+    bits = packed_bits(qt)
+    codes = unpack_codes_sharded(qt.qweight, bits, qt.k, qt.k_shards)
+    return qt.replace(
+        qweight=pack_codes_sharded(codes, bits, k_shards), k_shards=k_shards
+    )
+
+
 def concat_n(qts) -> "QuantizedTensor":
     """Concatenate packed artifacts along the output (N) dimension.
 
