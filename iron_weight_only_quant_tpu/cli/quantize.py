@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("--pad_n", type=int, default=1,
                     help="pad stored output dims to this multiple (512 gives "
                          "the fused kernel full-width tiles on shapes like 11008)")
+    ap.add_argument("--no_native", action="store_true",
+                    help="disable the C++ quantize/pack hot loop (native/)")
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -59,20 +61,32 @@ def main(argv=None):
             report = {"n_quantized": "gptq"}
         else:
             from ..quantize.model_pass import quantize_model_params
+            from ..quantize.rtn import native_quantize_tensor
             from ..quantize.rtn import quantize_tensor as _qt
 
-            qfn = (lambda w, path: _qt(w, spec, pad_n_to=args.pad_n)) \
-                if args.pad_n > 1 else None
+            used_native = [0]
+
+            def qfn(w, path):
+                if not args.no_native:
+                    qt = native_quantize_tensor(w, spec, pad_n_to=args.pad_n)
+                    if qt is not None:
+                        used_native[0] += 1
+                        return qt
+                return _qt(w, spec, pad_n_to=args.pad_n)
+
             qparams, report = quantize_model_params(params, spec, quantize_fn=qfn)
+            report["n_native"] = used_native[0]
 
         from ..quantize.artifact import save_artifact
 
         save_artifact(args.out, family, cfg, qparams)
 
+    native_note = (f", {report['n_native']} via native lib"
+                   if report.get("n_native") else "")
     print(f"quantized {report.get('n_quantized')} linears "
           f"({spec.fmt}{spec.storage_bits} g{spec.group_size}"
-          f"{' gptq' if args.gptq else ''}) in {t.spans['__total__']:.1f}s "
-          f"-> {args.out}")
+          f"{' gptq' if args.gptq else ''}) in {t.spans['__total__']:.1f}s"
+          f"{native_note} -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -169,6 +169,27 @@ def get_synthetic(nsamples, seed, seqlen, model=None, vocab_size: int = 256):
     return _windows(train, nsamples, seed, seqlen), TokenizedText(test)
 
 
+def get_tokenshard(path: str, nsamples, seed, seqlen):
+    """Pre-tokenized raw-int32 shard (memory-mapped via the native C++
+    reader, native/iwoq_native.cpp): seeded random calibration windows +
+    the full stream as the test split.  The offline-quantization data path
+    for hosts where tokenizing a corpus per run is the bottleneck."""
+    from .. import native
+
+    with native.TokenShardReader(path) as reader:
+        total = len(reader)
+        if total < seqlen + 1:
+            raise ValueError(f"token shard {path} shorter than seqlen")
+        rng = random.Random(seed)
+        offs = [rng.randint(0, total - seqlen - 1) for _ in range(nsamples)]
+        batch = reader.batch(offs, seqlen)
+        samples = [CalibSample(batch[i : i + 1].astype(np.int64))
+                   for i in range(nsamples)]
+        n_test = min(total, 256 * seqlen)
+        test = reader.batch([0], n_test).astype(np.int64)
+    return samples, TokenizedText(test)
+
+
 def get_loaders(
     name: str,
     nsamples: int = 128,
@@ -177,7 +198,11 @@ def get_loaders(
     model: str = "",
     vocab_size: int = 256,
 ) -> Tuple[Optional[List[CalibSample]], TokenizedText]:
-    """Dispatch identical to reference datautils.get_loaders (lines 205-217)."""
+    """Dispatch identical to reference datautils.get_loaders (lines 205-217),
+    plus two framework extensions: ``synthetic`` (offline random tokens) and
+    ``tokenshard:<path>`` (native memory-mapped pre-tokenized corpus)."""
+    if name.startswith("tokenshard:"):
+        return get_tokenshard(name.split(":", 1)[1], nsamples, seed, seqlen)
     if "synthetic" in name:
         return get_synthetic(nsamples, seed, seqlen, model, vocab_size)
     if "wikitext2" in name or name == "wikitext":

