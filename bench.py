@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 
-def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False):
+def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
+                          packed_sides=False):
     """Random-init directly on device, quantizing each linear as it is made
     (avoids materializing the dense 7B model or host->device transfers).
 
@@ -46,16 +47,16 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False):
             w = jax.random.normal(k, (kin, kout), dtype) * scale
             return {"w": w, "b": None}
         if (kin, kout, scale) not in fn_cache:
-            # NOTE: packed bf16-pair sides (quantize.rtn.with_packed_sides)
-            # win +14-21% on isolated large-K-tile matmuls but measured
-            # *slower* end-to-end in this decode step (7.51 vs 7.24 ms,
-            # NOTES.md) -- kept opt-in, not used for the headline
-            fn_cache[(kin, kout, scale)] = jax.jit(
-                lambda kk, _kin=kin, _kout=kout, _s=scale: quantize_tensor(
+            from iron_weight_only_quant_tpu.quantize.rtn import with_packed_sides
+
+            def make(kk, _kin=kin, _kout=kout, _s=scale):
+                qt = quantize_tensor(
                     jax.random.normal(kk, (_kin, _kout), jnp.float32) * _s,
                     spec, pad_n_to=512,
                 )
-            )
+                return with_packed_sides(qt) if packed_sides else qt
+
+            fn_cache[(kin, kout, scale)] = jax.jit(make)
         return {"w": fn_cache[(kin, kout, scale)](k), "b": None}
 
     keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
@@ -150,6 +151,44 @@ def _timed(f, *a):
     return time.perf_counter() - t0
 
 
+def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
+    """Continuous-batching throughput: mixed-length requests through
+    engine.serve with chunked device steps (one host sync per ``chunk``
+    tokens -- the host round-trip is ~25 ms through the tunnel)."""
+    import random
+
+    from iron_weight_only_quant_tpu.config import EngineConfig, KVCacheConfig
+    from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+    rng = random.Random(seed)
+    reqs = [
+        [rng.randint(1, cfg.vocab_size - 1) for _ in range(rng.randint(16, 64))]
+        for _ in range(2 * nslots)
+    ]
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.models import llama_forward
+
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=128),
+                        max_batch_size=nslots)
+    eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg,
+                          dtype=jnp.bfloat16)
+    run = lambda: eng.serve(reqs, max_new_tokens=max_new, chunk=chunk)  # noqa: E731
+    run()  # compile warmup
+    t = _timed(run)
+    n_generated = len(reqs) * max_new
+    total_steps = sum(len(r) for r in reqs) // nslots + max_new  # approx
+    return {
+        "serve_toks_per_s": round(n_generated / t, 1),
+        "serve_requests": len(reqs),
+        "serve_chunk": chunk,
+        "serve_wall_s": round(t, 2),
+        "serve_note": "prompts stream token-wise (no prefill batching); "
+                      "generated-token throughput only",
+        "serve_steps_approx": total_steps,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
@@ -157,6 +196,10 @@ def main():
                     help="scan-over-layers forward (fast compile, slower decode)")
     ap.add_argument("--qhead", action="store_true",
                     help="quantize the lm_head too (reference always skips it)")
+    ap.add_argument("--packed_sides", action="store_true",
+                    help="bf16-pair side info packed into one int32 array")
+    ap.add_argument("--no_serve", action="store_true",
+                    help="skip the continuous-batching serve measurement")
     ap.add_argument("--model", default="7b", choices=["7b", "13b"],
                     help="llama shape to benchmark (13b implies --scan for "
                          "depth-independent compile time)")
@@ -218,9 +261,14 @@ def main():
 
     # headline: full-depth W4 decode throughput
     params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
-                                       quantize_lm_head=args.qhead))
+                                       quantize_lm_head=args.qhead,
+                                       packed_sides=args.packed_sides))
     t_step = decode_time_per_step(cfg, params_w4, batch, scan_layers=args.scan)
     toks_per_s = batch / t_step
+
+    serve_stats = None
+    if not args.no_serve and not args.scan and not args.small:
+        serve_stats = serve_throughput(cfg, params_w4, batch)
     del params_w4
 
     # speedup ratio on a reduced-depth twin (bf16 full 7B does not fit HBM
@@ -228,7 +276,8 @@ def main():
     import dataclasses
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
     p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
-                                  quantize_lm_head=args.qhead))
+                                  quantize_lm_head=args.qhead,
+                                  packed_sides=args.packed_sides))
     t_w4 = decode_time_per_step(cfg_r, p_w4, batch, scan_layers=args.scan)
     del p_w4
     p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
@@ -263,6 +312,7 @@ def main():
             "dense_stream_gbps": round(dense_gbps, 1),
             "per_layer_us": round(per_layer_w4 * 1e6, 1),
             "fixed_overhead_us": round(fixed * 1e6, 1),
+            **(serve_stats or {}),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
             "device": str(jax.devices()[0]),
         },

@@ -65,6 +65,47 @@ def _decode_step(params, tok, positions, mask, caches, rng, forward, cfg,
     return nxt, caches
 
 
+@partial(jax.jit,
+         static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
+                          "abits"),
+         donate_argnames=("caches",))
+def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
+                 forward, cfg, temperature, top_k, t_max, abits=None):
+    """C decode steps device-side between host syncs (continuous batching).
+
+    Per step, each slot's next input is its queued prompt token while its
+    prompt is still streaming (``i+1 < feed_len``), else the token just
+    sampled -- the device-side mirror of the serve loop's per-token
+    bookkeeping, so one host round-trip (the dominant cost through a
+    tunneled chip, ~25 ms) now advances C tokens.  Returns the [B, C]
+    sampled tokens; the host decides which are real outputs.
+    """
+    from ..ops.qmatmul import activation_quant
+
+    cols = jnp.arange(t_max)
+    c = feed_next.shape[1]
+
+    def step(carry, inp):
+        tok, caches, lens, rng = carry
+        i, feed_col = inp
+        lens_c = jnp.minimum(lens, t_max - 1)
+        positions = lens_c[:, None]
+        mask = cols[None, None, None, :] <= lens_c[:, None, None, None]
+        rng, sub = jax.random.split(rng)
+        with activation_quant(abits):
+            logits, caches = forward(params, tok, cfg, caches=caches,
+                                     positions=positions, attn_mask=mask)
+        nxt = sample_tokens(logits[:, -1], sub, temperature, top_k)
+        tok_next = jnp.where((i + 1) < feed_len, feed_col, nxt)[:, None]
+        return (tok_next, caches, lens + 1, rng), nxt
+
+    (_, caches, _, _), sampled = jax.lax.scan(
+        step, (tok0, caches, lens0, rng),
+        (jnp.arange(c), jnp.swapaxes(feed_next, 0, 1)),
+    )
+    return jnp.swapaxes(sampled, 0, 1), caches
+
+
 class InferenceEngine:
     """Batch generation over a (possibly quantized, possibly sharded) model."""
 
@@ -250,6 +291,7 @@ class InferenceEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         seed: int = 0,
+        chunk: int = 1,
     ) -> List[List[int]]:
         """Token-level continuous batching over a request queue.
 
@@ -260,6 +302,13 @@ class InferenceEngine:
         cache column (vmapped per-row scatter in the cache update), so a slot
         admitted late starts at column 0 and ``max_seq_len`` bounds each
         *request*, not the total tokens the batch has ever served.
+
+        ``chunk > 1`` runs that many steps device-side per host round-trip
+        (:func:`_serve_chunk`): host-loop overhead (sync + page bookkeeping)
+        amortizes over the chunk, at the cost of admission/EOS reaction
+        latency of up to ``chunk-1`` steps (a finished slot computes garbage
+        tokens for the rest of its chunk; they are discarded and its cache
+        columns are recycled on re-admission).
         """
         if any(len(r) == 0 for r in requests):
             raise ValueError("empty prompts are not allowed")
@@ -337,7 +386,7 @@ class InferenceEngine:
                            else c.replace(**upd))
             return out
 
-        cols = jnp.arange(t_max)
+        chunk = max(1, int(chunk))
         while queue or any(r >= 0 for r in slot_req):
             # admit queued requests into idle slots (deferred under paging
             # until the pool has a page for the new request's first column)
@@ -346,40 +395,56 @@ class InferenceEngine:
                     not paged or allocator.free_count > 0
                 ):
                     admit(s)
+            c = chunk
             toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
-            # this step's token is written at the slot's own column; idle
-            # slots keep writing (and reading) garbage that nothing consumes
-            lens_np = np.minimum(slot_len, t_max - 1)
-            if paged:
-                ensure_pages(lens_np)
-            caches = set_lengths(caches, lens_np)
-            lens = jnp.asarray(lens_np, jnp.int32)
-            positions = lens[:, None]
-            mask = cols[None, None, None, :] <= lens[:, None, None, None]
-            rng, sub = jax.random.split(rng)
-            next_tok, caches = _decode_step(
-                self.params, toks, positions, mask, caches, sub,
-                self.forward, self.cfg, temperature, top_k,
-                self.engine_cfg.activation_bits,
-            )
-            slot_len += 1
-            sampled = np.asarray(next_tok)
+            # per-slot prompt tokens queued as step inputs within the chunk:
+            # feed_next[s, i] is the input for step i+1 while i+1 < feed_len
+            feed_next = np.zeros((nslots, c), np.int64)
+            feed_len = np.zeros(nslots, np.int64)
             for s in range(nslots):
                 rid = slot_req[s]
                 if rid < 0:
                     continue
                 prompt = requests[rid]
-                slot_fed[s] += 1 if slot_fed[s] < len(prompt) else 0
-                if slot_fed[s] < len(prompt):
-                    # still streaming the prompt; ignore the sampled token
-                    pending_tok[s] = prompt[slot_fed[s]]
+                remaining = prompt[slot_fed[s] : slot_fed[s] + c]
+                feed_len[s] = len(remaining)
+                for i, tk in enumerate(remaining[1:], start=1):
+                    feed_next[s, i - 1] = tk
+            # this chunk's tokens are written at the slot's own columns; idle
+            # slots keep writing (and reading) garbage that nothing consumes
+            # (page-table entry 0 -> the reserved garbage page under paging)
+            lens_np = np.minimum(slot_len, t_max - 1)
+            if paged:
+                ensure_pages(np.minimum(lens_np + c - 1, t_max - 1))
+            caches = set_lengths(caches, lens_np)
+            rng, sub = jax.random.split(rng)
+            sampled, caches = _serve_chunk(
+                self.params, toks, jnp.asarray(feed_next, jnp.int32),
+                jnp.asarray(feed_len, jnp.int32),
+                jnp.asarray(lens_np, jnp.int32), caches, sub,
+                self.forward, self.cfg, temperature, top_k, t_max,
+                self.engine_cfg.activation_bits,
+            )
+            slot_len += c
+            sampled = np.asarray(sampled)
+            for s in range(nslots):
+                rid = slot_req[s]
+                if rid < 0:
                     continue
-                # prompt done: the sampled token is real output
-                tok = int(sampled[s])
-                results[rid].append(tok)
-                slot_gen[s] += 1
-                if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
-                    release(s)
-                else:
-                    pending_tok[s] = tok
+                prompt = requests[rid]
+                for i in range(c):
+                    slot_fed[s] += 1 if slot_fed[s] < len(prompt) else 0
+                    if slot_fed[s] < len(prompt):
+                        continue  # this step consumed a prompt token
+                    tok = int(sampled[s, i])
+                    results[rid].append(tok)
+                    slot_gen[s] += 1
+                    if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
+                        release(s)  # rest of the chunk is discarded garbage
+                        break
+                if slot_req[s] >= 0:
+                    pending_tok[s] = (
+                        prompt[slot_fed[s]] if slot_fed[s] < len(prompt)
+                        else int(sampled[s, c - 1])
+                    )
         return [results[i] for i in range(len(requests))]

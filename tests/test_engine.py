@@ -212,3 +212,24 @@ class TestActivationBits:
         # activation quant changes numerics but produces valid tokens; the
         # first greedy token usually agrees on this tiny model
         assert len(b) == 3
+
+
+class TestChunkedServe:
+    """serve(chunk=C): C device-side steps per host sync must be
+    token-identical to the single-step loop (greedy)."""
+
+    def test_chunked_matches_single_step(self, tiny_model):
+        cfg, params = tiny_model
+        eng = _engine(cfg, params)
+        reqs = [[1, 2, 3, 4, 5], [7, 8], [9, 10, 11], [4]]
+        base = eng.serve(reqs, max_new_tokens=5)
+        for c in (2, 3, 8):
+            eng_c = _engine(cfg, params)
+            assert eng_c.serve(reqs, max_new_tokens=5, chunk=c) == base, c
+
+    def test_chunked_paged_matches(self, tiny_model):
+        cfg, params = tiny_model
+        reqs = [[1, 2, 3], [7, 8], [9, 10, 11, 12]]
+        dense = _engine(cfg, params).serve(reqs, max_new_tokens=4)
+        eng = _engine(cfg, params, kv=dict(paged=True, page_size=4))
+        assert eng.serve(reqs, max_new_tokens=4, chunk=4) == dense
