@@ -269,6 +269,100 @@ def _int3_kernel(*refs, rsa: int, rsb: int, nk: int, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _minifloat_decode(codes_i32, exp_bits: int, mant_bits: int, dtype):
+    """Exact minifloat decode by f32 bit assembly (formats/minifloat.py
+    code_to_float semantics, incl. subnormals).
+
+    The in-kernel realization of the reference's ``deq2`` shared-memory LUT
+    (quant_cuda_kernel.cu:185-192): instead of a 16-entry table gather (no
+    cheap VMEM gather on the VPU), the float is CONSTRUCTED — sign/exp/mant
+    fields shift into IEEE f32 bit positions (32-bit vector shifts are
+    native), subnormals take a one-select int->float path.
+    """
+    bias = (1 << (exp_bits - 1)) - 1
+    sign = (codes_i32 >> (exp_bits + mant_bits)) & 1
+    expf = (codes_i32 >> mant_bits) & ((1 << exp_bits) - 1)
+    mant = codes_i32 & ((1 << mant_bits) - 1)
+    normal_bits = (sign << 31) | ((expf - bias + 127) << 23) | (
+        mant << (23 - mant_bits)
+    )
+    normal = jax.lax.bitcast_convert_type(normal_bits, jnp.float32)
+    sub = mant.astype(jnp.float32) * (2.0 ** (1 - bias - mant_bits))
+    sub = jnp.where(sign == 1, -sub, sub)
+    return jnp.where(expf == 0, sub, normal).astype(dtype)
+
+
+def _lut_accum(acc, x, vals, load_sz, rs: int, g: int, has_z: bool):
+    """LUT-mode accumulation: w = vals * s (+ z), so
+    ``x @ w = (x @ vals) * s + xsum * z`` per group."""
+    for r in range(rs):
+        vg = vals[r * g : (r + 1) * g, :]
+        xg = x[:, r * g : (r + 1) * g]
+        part = jnp.dot(xg, vg, preferred_element_type=jnp.float32)
+        s, z = load_sz(r)
+        acc = acc + part * s.astype(jnp.float32)
+        if has_z:
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + xsum * z.astype(jnp.float32)
+    return acc
+
+
+def _lut4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                 *, rs: int, nk: int, out_dtype, exp_bits: int,
+                 mant_bits: int, has_z: bool):
+    """Fused minifloat (4-bit codes) dequant-matmul: nibble codes -> exact
+    float values in-register -> MXU."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[:]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
+    # plain unsigned codes: lo nibble direct; hi nibble via the stored
+    # MSB-flip (i8(qw & 0xF0) == 16*hi - 128  =>  hi = (v + 128) >> 4)
+    lo = (qw & 0xF).astype(jnp.int32)
+    hi = ((qw_i8 & jnp.int8(-16)).astype(jnp.int32) + 128) >> 4
+    dtype = x_lo_ref.dtype
+    g = qw.shape[0] // rs
+
+    acc = acc_ref[:]
+    acc = _lut_accum(acc, x_lo_ref[:], _minifloat_decode(lo, exp_bits, mant_bits, dtype),
+                     _flat_sz(s_ref, z_ref, kk * rs), rs, g, has_z)
+    acc = _lut_accum(acc, x_hi_ref[:], _minifloat_decode(hi, exp_bits, mant_bits, dtype),
+                     _flat_sz(s_ref, z_ref, (nk + kk) * rs), rs, g, has_z)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _lut8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                 *, rs: int, out_dtype, exp_bits: int, mant_bits: int,
+                 has_z: bool):
+    """Fused minifloat (byte codes: fp6/fp8) dequant-matmul."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # byte layout stores code - 128; undo in i32
+    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8).astype(
+        jnp.int32
+    ) + 128
+    g = qw_ref.shape[0] // rs
+    vals = _minifloat_decode(codes, exp_bits, mant_bits, x_ref.dtype)
+    acc_ref[:] = _lut_accum(acc_ref[:], x_ref[:], vals,
+                            _flat_sz(s_ref, z_ref, kk * rs), rs, g, has_z)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _int8_body(x_ref, qw_ref, sz, o_ref, acc_ref, out_dtype, rs):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -349,8 +443,25 @@ def _layout3_supported(qt: QuantizedTensor, rows: int) -> bool:
     return _plan_tiles3(n, k, rows, 16) is not None
 
 
+def _storage_layout_bits(qt: QuantizedTensor) -> int:
+    """Packed storage width (codes/byte layout), distinct from logical bits:
+    lut-mode fp6 codes are stored one per byte."""
+    b = qt.spec.storage_bits
+    if qt.mode == "lut":
+        return b if b in (2, 4) else 8
+    return b
+
+
 def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
-    if qt.mode != "affine" or qt.spec.fmt not in ("int", "bfp"):
+    if qt.mode == "affine":
+        if qt.spec.fmt not in ("int", "bfp"):
+            return False
+    elif qt.mode == "lut":
+        # exact minifloat decodes by bit assembly in-kernel; the approximate
+        # (aligned) codebooks are not bit-constructible -> XLA path
+        if qt.spec.fmt != "fp" or qt.spec.approximate:
+            return False
+    else:
         return False
     if qt.k_shards > 1:
         return False  # global view of a row-sharded artifact: XLA path
@@ -363,13 +474,15 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
         return False
     if qt.zeros is not None and qt.zeros.dtype.itemsize != 4:
         return False
-    bits = qt.spec.storage_bits
+    bits = _storage_layout_bits(qt)
     if bits == 3:
         # flat kernel only (stacked 3-bit falls back to the XLA path)
         return (qt.qweight.ndim == 2 and qt.side_packed is None
                 and _layout3_supported(qt, rows))
     if bits not in (4, 8):
         return False
+    if qt.mode == "lut" and qt.qweight.ndim != 2:
+        return False  # stacked lut kernels not implemented
     k, n = qt.shape
     n = n + qt.n_pad
     if _pick_tn(n) is None:
@@ -568,7 +681,10 @@ def fused_quantized_matmul(
     contractions at twice the bf16 rate; the per-row scale is applied to the
     output.  Changes numerics (~0.3% activation quant error) -- opt-in.
     """
-    bits = qt.spec.storage_bits
+    bits = _storage_layout_bits(qt)
+    lut = qt.mode == "lut"
+    if lut and activation_bits is not None:
+        raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
@@ -582,7 +698,8 @@ def fused_quantized_matmul(
                                         slabs=2 if bits == 4 else 1)
     nk = kp // tpk
     scales = _normalize_side(qt.scales, k, n, g_target)
-    zeros = _normalize_side(qt.zeros, k, n, g_target)
+    has_z = qt.zeros is not None
+    zeros = _normalize_side(qt.zeros if has_z else qt.scales, k, n, g_target)
     srows = scales.shape[0]
 
     grid = (m_pad // tm, n // tn, nk)
@@ -593,13 +710,46 @@ def fused_quantized_matmul(
     # measured, scripts/probe_side_dtype.py) but lose ~9% on small-tile K
     # (11008 -> tpk=128, 43 grid steps); the artifact keeps the f32 arrays,
     # so pick per shape
-    packed = qt.side_packed is not None and tpk >= 256
+    packed = qt.side_packed is not None and tpk >= 256 and not lut
     if packed:
         side_ops = [_normalize_side(qt.side_packed, k, n, g_target)]
         side_specs = [side_spec]
     else:
         side_ops = [scales, zeros]
         side_specs = [side_spec, side_spec]
+
+    if lut:
+        fmt = qt.spec.float_format
+        if bits == 4:
+            kernel = functools.partial(
+                _lut4_kernel, rs=rs, nk=nk, out_dtype=out_dtype,
+                exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
+                    pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk)),
+                    pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
+                    *side_specs,
+                ],
+                **common,
+            )(x2, x2, qt.qweight, *side_ops)
+        else:
+            kernel = functools.partial(
+                _lut8_kernel, rs=rs, out_dtype=out_dtype,
+                exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
+                    pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
+                    *side_specs,
+                ],
+                **common,
+            )(x2, qt.qweight, *side_ops)
+        return _finish(out, x, qt, m, m_pad, out_scale)
 
     if bits == 4:
         kfn = _int4_kernel_packed if packed else _int4_kernel

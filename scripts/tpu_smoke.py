@@ -33,7 +33,7 @@ HBM_GBPS = 819.0  # v5e
 ITERS_LO, ITERS_HI = 100, 400
 
 
-def timeit(fn, x, *rest):
+def timeit(fn, x, *rest, fold="first"):
     """Slope-based per-op timing robust to this environment's quirks.
 
     Through the axon tunnel (a) ``block_until_ready`` does not actually wait
@@ -42,6 +42,12 @@ def timeit(fn, x, *rest):
     a jitted fori_loop (the output feeds the next input, defeating loop
     hoisting), at two loop lengths, and report the slope
     ``(t_hi - t_lo) / (ITERS_HI - ITERS_LO)``.
+
+    ``fold="first"`` feeds only out[0] back into the chain -- fine for
+    pallas_call ops (opaque to XLA), but a PURE-XLA op under test gets
+    dead-code-eliminated down to the one live column.  Use ``fold="sum"``
+    for XLA ops: the full-output reduce keeps every element live (the extra
+    reduce is noise next to a weight-streaming matmul).
     """
 
     def make(iters):
@@ -50,7 +56,9 @@ def timeit(fn, x, *rest):
             def body(i, xc):
                 y = fn(xc, *rest)
                 # fold output back into an input of the right shape/dtype
-                return (x + y.reshape(-1)[0].astype(jnp.float32)).astype(x.dtype)
+                lane = (jnp.sum(y.astype(jnp.float32)) if fold == "sum"
+                        else y.reshape(-1)[0].astype(jnp.float32))
+                return (x + lane).astype(x.dtype)
 
             return jax.lax.fori_loop(0, iters, body, x)
 

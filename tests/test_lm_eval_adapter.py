@@ -65,10 +65,15 @@ def evallm():
     return EvalLM(params=None, forward=forward, cfg=Cfg(), batch_size=2)
 
 
-def test_import_error_without_lm_eval(evallm):
+def test_import_error_without_lm_eval(evallm, monkeypatch):
     from iron_weight_only_quant_tpu.evals.lm_eval_adapter import make_lm_eval_model
 
-    assert "lm_eval" not in sys.modules
+    # other test modules may have stubbed lm_eval into sys.modules
+    # (test_e2e_reference_parity needs one to import the reference's main.py);
+    # scrub so this test sees a truly absent package
+    for name in list(sys.modules):
+        if name == "lm_eval" or name.startswith("lm_eval."):
+            monkeypatch.delitem(sys.modules, name)
     with pytest.raises(ImportError, match="native harness"):
         make_lm_eval_model(evallm, _word_encode, _decode)
 

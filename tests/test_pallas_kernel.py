@@ -257,3 +257,57 @@ class TestInt3Kernel:
         qt = quantize_tensor(w, QuantSpec(fmt="int", bits=3, group_size=64,
                                           symmetric=False))
         assert not kernel_supported(qt)
+
+
+class TestLutKernel:
+    """In-kernel minifloat (LUT-mode) dequant -- the TPU realization of the
+    reference's ``deq2`` shared-memory table (quant_cuda_kernel.cu:185-192):
+    codes are decoded to exact float values by IEEE bit assembly inside the
+    fused kernel instead of a table gather."""
+
+    from iron_weight_only_quant_tpu.config import FloatFormat
+
+    LUT_SPECS = [
+        QuantSpec(fmt="fp", bits=4, float_format=FloatFormat(2, 1),
+                  group_size=128, symmetric=True),
+        QuantSpec(fmt="fp", bits=4, float_format=FloatFormat(1, 2),
+                  group_size=64, symmetric=False),
+        QuantSpec(fmt="fp", bits=6, float_format=FloatFormat(3, 2),
+                  group_size=128, symmetric=True),
+        QuantSpec(fmt="fp", bits=8, float_format=FloatFormat(4, 3),
+                  group_size=PER_CHANNEL, symmetric=False),
+        QuantSpec(fmt="fp", bits=8, float_format=FloatFormat(4, 3),
+                  group_size=128, symmetric=True),
+    ]
+
+    @pytest.mark.parametrize(
+        "spec", LUT_SPECS,
+        ids=lambda s: (f"e{s.float_format.exp_bits}m{s.float_format.mant_bits}"
+                       f"g{s.group_size}{'s' if s.symmetric else 'u'}"),
+    )
+    @pytest.mark.parametrize("m", [1, 16])
+    def test_lut_fused_matches_xla(self, weight, spec, m):
+        rng = np.random.default_rng(11)
+        qt = quantize_tensor(weight, spec)
+        assert qt.mode == "lut"
+        assert kernel_supported(qt), "lut fused kernel must support this"
+        x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
+        y_ref = x @ dequantize_weight(qt)
+        y = fused_quantized_matmul(x, qt, interpret=True)
+        assert y.shape == (m, 256)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_lut_approximate_falls_back(self, weight):
+        # aligned (approximate) codebooks are not IEEE bit-constructible
+        from iron_weight_only_quant_tpu.config import FloatFormat
+        spec = QuantSpec(fmt="fp", bits=4, float_format=FloatFormat(2, 1),
+                         group_size=128, approximate=True)
+        qt = quantize_tensor(weight, spec)
+        assert qt.mode == "lut"
+        assert not kernel_supported(qt)
+        # the XLA path still serves it
+        y = None
+        x = jnp.ones((2, 512), jnp.float32)
+        y = x @ dequantize_weight(qt)
+        assert y.shape == (2, 256)
