@@ -290,7 +290,10 @@ def main():
     # W4 kernel's effective HBM stream against the same-step bf16 dense
     # stream measured on this chip (the achievable roofline for this access
     # pattern -- ~87% of the 819 GB/s paper number on the v5e, NOTES.md)
-    per_layer_w4 = (t_step - t_w4) / (cfg.num_layers - ratio_layers)
+    if cfg.num_layers == ratio_layers:  # --small: no depth slope available
+        per_layer_w4 = t_step / max(cfg.num_layers, 1)
+    else:
+        per_layer_w4 = (t_step - t_w4) / (cfg.num_layers - ratio_layers)
     fixed = max(t_w4 - ratio_layers * per_layer_w4, 0.0)
     per_layer_bf16 = max(t_bf16 - fixed, 1e-9) / ratio_layers
     w4_gbps = layer_weight_bytes(cfg, True) / per_layer_w4 / 1e9

@@ -195,13 +195,18 @@ def bloom_forward_scan(
         x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
         new_caches = None
     else:
-        def body(x, inputs):
-            l, cache_l = inputs
-            x, cache_l = _block(x, stacked_layer_view(stacked, l), cfg, mask,
-                                bias, cache_l)
-            return x, cache_l
+        from ..engine.kvcache import StackedCacheAt
 
-        x, new_caches = jax.lax.scan(body, x, (jnp.arange(n_layers), caches))
+        # caches ride the scan CARRY (in-place per-token writes, see
+        # kvcache.StackedCacheAt), not xs/ys slab slicing/re-stacking
+        def body(carry, l):
+            x, c = carry
+            x, cat = _block(x, stacked_layer_view(stacked, l), cfg, mask,
+                            bias, StackedCacheAt(c, l))
+            return (x, cat.caches), None
+
+        (x, new_caches), _ = jax.lax.scan(body, (x, caches),
+                                          jnp.arange(n_layers))
 
     x = layernorm(
         x, params["final_norm"]["w"], params["final_norm"]["b"], cfg.layer_norm_eps

@@ -286,12 +286,19 @@ def llama_forward_scan(
         x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
         new_caches = None
     else:
-        def body(x, inputs):
-            l, cache_l = inputs
-            x, cache_l = _block(x, layer_view(l), cfg, cos, sin, mask, cache_l)
-            return x, cache_l
+        from ..engine.kvcache import StackedCacheAt
 
-        x, new_caches = jax.lax.scan(body, x, (jnp.arange(n_layers), caches))
+        # caches ride the scan CARRY (in-place per-token writes), not xs/ys
+        # (which would slice + re-stack every layer's whole cache slab per
+        # step; see kvcache.StackedCacheAt)
+        def body(carry, l):
+            x, c = carry
+            x, cat = _block(x, layer_view(l), cfg, cos, sin, mask,
+                            StackedCacheAt(c, l))
+            return (x, cat.caches), None
+
+        (x, new_caches), _ = jax.lax.scan(body, (x, caches),
+                                          jnp.arange(n_layers))
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
