@@ -132,11 +132,15 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     lo, hi = make_runner(t_lo), make_runner(t_hi)
     run_once(lo)  # compile
     run_once(hi)
-    # slope with a noise guard: retry with more repetitions if the measured
-    # slope is non-positive (dispatch jitter can exceed small model deltas)
-    for reps in (2, 4, 6):
-        ts_lo = min(_timed(run_once, lo) for _ in range(reps))
-        ts_hi = min(_timed(run_once, hi) for _ in range(reps))
+    # the chip is SHARED: another tenant's load inflates timings by 30%+ for
+    # minutes at a time (scripts/probe_w4_inner.py ablation history), and
+    # contention only ever ADDS time.  So interleave lo/hi measurements and
+    # slope the per-length MINIMA; escalate repetitions if jitter still wins.
+    ts_lo = ts_hi = float("inf")
+    for reps in (5, 5, 8):
+        for _ in range(reps):
+            ts_lo = min(ts_lo, _timed(run_once, lo))
+            ts_hi = min(ts_hi, _timed(run_once, hi))
         slope = (ts_hi - ts_lo) / (t_hi - t_lo)
         if slope > 0:
             return slope

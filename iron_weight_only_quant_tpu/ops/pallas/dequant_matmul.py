@@ -139,6 +139,42 @@ def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
     return acc
 
 
+def _group_accum_a16(acc, xa, xb, codes, load_sz, rs: int, g: int,
+                     mult: float = 1.0, zshift: float = 0.0,
+                     apply_z: bool = True):
+    """A16 accumulation: activations as 16-bit fixed point split into two
+    int8 planes (``x ~= s_x * (256*xa + xb)``, see ``_prep_x``).
+
+    The weight codes feed the int8 MXU RAW -- zero per-element decode work
+    on the weight stream (the i8->bf16 converts of the bf16 path are the
+    kernel's VPU bottleneck: cutting them measured +30% at 7B decode shapes,
+    scripts/probe_w4_inner.py).  Two int8 contractions per group replace one
+    bf16 contraction; the MXU is idle at decode batch sizes, the VPU is not.
+    Each int32 partial converts to f32 *before* the 256 recombination --
+    dot magnitudes fit int32 (127*128*g_max), the recombined value may not.
+    """
+    int_sum = lambda m: jnp.sum(m.astype(jnp.int32), axis=1, keepdims=True)
+    for r in range(rs):
+        qg = codes[r * g : (r + 1) * g, :]
+        xag = xa[:, r * g : (r + 1) * g]
+        xbg = xb[:, r * g : (r + 1) * g]
+        pa = jnp.dot(xag, qg, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        pb = jnp.dot(xbg, qg, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        part = pa * 256.0 + pb
+        s, z = load_sz(r)
+        s = s.astype(jnp.float32)
+        if not apply_z:
+            acc = acc + part * (s * mult)
+            continue
+        xsum = (int_sum(xag) * 256 + int_sum(xbg)).astype(jnp.float32)
+        acc = acc + part * (s * mult) - xsum * (s * (z.astype(jnp.float32) - zshift))
+    return acc
+
+
 def _flat_sz(s_ref, z_ref, srow):
     return lambda r: (s_ref[pl.ds(srow + r, 1), :], z_ref[pl.ds(srow + r, 1), :])
 
@@ -201,6 +237,55 @@ def _int4_kernel_packed(x_lo_ref, x_hi_ref, qw_ref, sz_ref, o_ref, acc_ref,
                _packed_sz(sz_ref, kk * rs),
                _packed_sz(sz_ref, (nk + kk) * rs),
                o_ref, acc_ref, out_dtype, rs)
+
+
+def _int4_kernel_a16(xa_lo, xa_hi, xb_lo, xb_hi, qw_ref, s_ref, z_ref,
+                     o_ref, acc_ref, *, rs: int, nk: int, out_dtype):
+    """Fused int4 dequant-matmul with A16 split-int8 activations.
+
+    xa_* / xb_* are the hi/lo int8 planes of the fixed-point activations,
+    each sliced per packed-K half like the bf16 kernel's x_lo/x_hi."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[:]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
+    lo = (qw & 0xF).astype(jnp.int8)
+    hi = qw_i8 & jnp.int8(-16)
+    g = qw.shape[0] // rs
+
+    acc = acc_ref[:]
+    acc = _group_accum_a16(acc, xa_lo[:], xb_lo[:], lo,
+                           _flat_sz(s_ref, z_ref, kk * rs), rs, g)
+    acc = _group_accum_a16(acc, xa_hi[:], xb_hi[:], hi,
+                           _flat_sz(s_ref, z_ref, (nk + kk) * rs), rs, g,
+                           mult=1.0 / 16.0, zshift=8.0)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _int8_kernel_a16(xa_ref, xb_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
+                     *, rs: int, out_dtype):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
+    g = qw_ref.shape[0] // rs
+    acc_ref[:] = _group_accum_a16(acc_ref[:], xa_ref[:], xb_ref[:], codes,
+                                  _flat_sz(s_ref, z_ref, kk * rs), rs, g)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 def _int3_kernel(*refs, rsa: int, rsb: int, nk: int, out_dtype):
@@ -564,7 +649,17 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
 
 
 def _prep_x(x: jnp.ndarray, k: int, activation_bits: Optional[int]):
-    """Flatten x to [M, K], optionally int8-row-quantize, pad M to a tile."""
+    """Flatten x to [M, K], optionally row-quantize, pad M to a tile.
+
+    ``activation_bits=8``: absmax int8 rows (W4A8/W8A8, ~2^-7 row-relative
+    activation error).  ``activation_bits=16``: 16-bit fixed-point rows split
+    into two int8 planes (``x ~= s_x * (256*hi + lo)``, ~2^-15 row-relative
+    error -- below bf16's own 2^-8 significand at the row max, so serving
+    quality is unchanged), the TPU realization of the reference's FIGLUT-I
+    per-row exponent-aligned fixed-point intent (quant_linear.py:19-81,
+    MANTISSA_BITS=12; here 16).  Both return int8 operands so weight codes
+    feed the MXU raw.  16 returns ``x2`` as an (xa, xb) tuple.
+    """
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
@@ -576,16 +671,29 @@ def _prep_x(x: jnp.ndarray, k: int, activation_bits: Optional[int]):
             jnp.int8
         )
         out_scale = sx
+    elif activation_bits == 16:
+        # 32512 = 127*256: keeps hi in [-127, 127] after round-half-up split
+        xf = x2.astype(jnp.float32)
+        sx = jnp.clip(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                      1e-8, None) / 32512.0
+        xi = jnp.round(xf / sx).astype(jnp.int32)
+        hi = (xi + 128) >> 8
+        lo = xi - (hi << 8)  # in [-128, 127]
+        x2 = (hi.astype(jnp.int8), lo.astype(jnp.int8))
+        out_scale = sx
     elif activation_bits is not None:
-        raise NotImplementedError("activation_bits must be None or 8")
+        raise NotImplementedError("activation_bits must be None, 8, or 16")
 
     tm = _pick_tm(m)
-    if activation_bits == 8:
+    if activation_bits in (8, 16):
         tm = max(tm, 32)  # int8 min sublane tile
     m_pad = _ceil_to(m, tm)
     if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-    out_dtype = jnp.float32 if activation_bits == 8 else x.dtype
+        if activation_bits == 16:
+            x2 = tuple(jnp.pad(p, ((0, m_pad - m), (0, 0))) for p in x2)
+        else:
+            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    out_dtype = jnp.float32 if activation_bits in (8, 16) else x.dtype
     return x2, m, m_pad, tm, out_dtype, out_scale
 
 
@@ -683,6 +791,11 @@ def fused_quantized_matmul(
     """
     bits = _storage_layout_bits(qt)
     lut = qt.mode == "lut"
+    if activation_bits == 16 and (lut or bits == 3):
+        # the split-plane path exists for the int4/int8 kernels only; a16 is
+        # an engine-wide serving default, so degrade to full-precision
+        # activations rather than crash on other formats
+        activation_bits = None
     if lut and activation_bits is not None:
         raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
@@ -710,7 +823,8 @@ def fused_quantized_matmul(
     # measured, scripts/probe_side_dtype.py) but lose ~9% on small-tile K
     # (11008 -> tpk=128, 43 grid steps); the artifact keeps the f32 arrays,
     # so pick per shape
-    packed = qt.side_packed is not None and tpk >= 256 and not lut
+    packed = (qt.side_packed is not None and tpk >= 256 and not lut
+              and activation_bits != 16)
     if packed:
         side_ops = [_normalize_side(qt.side_packed, k, n, g_target)]
         side_specs = [side_spec]
@@ -751,33 +865,50 @@ def fused_quantized_matmul(
             )(x2, qt.qweight, *side_ops)
         return _finish(out, x, qt, m, m_pad, out_scale)
 
+    xspec_lo = pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk))
+    xspec_hi = pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk))
+    wspec = pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j))
     if bits == 4:
-        kfn = _int4_kernel_packed if packed else _int4_kernel
-        kernel = functools.partial(kfn, rs=rs, nk=nk, out_dtype=out_dtype)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk)),
-                pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
-                *side_specs,
-            ],
-            **common,
-        )(x2, x2, qt.qweight, *side_ops)
+        if activation_bits == 16:
+            xa, xb = x2
+            kernel = functools.partial(_int4_kernel_a16, rs=rs, nk=nk,
+                                       out_dtype=out_dtype)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[xspec_lo, xspec_hi, xspec_lo, xspec_hi, wspec,
+                          *side_specs],
+                **common,
+            )(xa, xa, xb, xb, qt.qweight, *side_ops)
+        else:
+            kfn = _int4_kernel_packed if packed else _int4_kernel
+            kernel = functools.partial(kfn, rs=rs, nk=nk, out_dtype=out_dtype)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[xspec_lo, xspec_hi, wspec, *side_specs],
+                **common,
+            )(x2, x2, qt.qweight, *side_ops)
     else:
-        kfn = _int8_kernel_packed if packed else _int8_kernel
-        kernel = functools.partial(kfn, rs=rs, out_dtype=out_dtype)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
-                *side_specs,
-            ],
-            **common,
-        )(x2, qt.qweight, *side_ops)
+        if activation_bits == 16:
+            xa, xb = x2
+            kernel = functools.partial(_int8_kernel_a16, rs=rs,
+                                       out_dtype=out_dtype)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[xspec_lo, xspec_lo, wspec, *side_specs],
+                **common,
+            )(xa, xb, qt.qweight, *side_ops)
+        else:
+            kfn = _int8_kernel_packed if packed else _int8_kernel
+            kernel = functools.partial(kfn, rs=rs, out_dtype=out_dtype)
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[xspec_lo, wspec, *side_specs],
+                **common,
+            )(x2, qt.qweight, *side_ops)
 
     return _finish(out, x, qt, m, m_pad, out_scale)
 
@@ -792,6 +923,16 @@ def _int4_kernel_pfx(l_ref, *args, **kw):
 def _int8_kernel_pfx(l_ref, *args, **kw):
     del l_ref
     _int8_kernel(*args, **kw)
+
+
+def _int4_kernel_a16_pfx(l_ref, *args, **kw):
+    del l_ref
+    _int4_kernel_a16(*args, **kw)
+
+
+def _int8_kernel_a16_pfx(l_ref, *args, **kw):
+    del l_ref
+    _int8_kernel_a16(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
@@ -849,29 +990,36 @@ def fused_quantized_matmul_stacked(
                             interpret, index_prefix=1)
     side_spec = pl.BlockSpec((srows_p, tn), lambda i, j, kk, l: (l[0], j))
 
+    xspec_lo = pl.BlockSpec((tm, tpk), lambda i, j, kk, l: (i, kk))
+    xspec_hi = pl.BlockSpec((tm, tpk),
+                            lambda i, j, kk, l, _nk=nk: (i, _nk + kk))
+    wspec = pl.BlockSpec((tpk, tn),
+                         lambda i, j, kk, l, _nk=nk: (l[0] * _nk + kk, j))
     if bits == 4:
-        kernel = functools.partial(_int4_kernel_pfx, rs=rs, nk=nk,
-                                   out_dtype=out_dtype)
-        in_specs = [
-            pl.BlockSpec((tm, tpk), lambda i, j, kk, l: (i, kk)),
-            pl.BlockSpec((tm, tpk), lambda i, j, kk, l, _nk=nk: (i, _nk + kk)),
-            pl.BlockSpec((tpk, tn),
-                         lambda i, j, kk, l, _nk=nk: (l[0] * _nk + kk, j)),
-            side_spec,
-            side_spec,
-        ]
-        operands = (x2, x2, qw2, scales2, zeros2)
+        if activation_bits == 16:
+            xa, xb = x2
+            kernel = functools.partial(_int4_kernel_a16_pfx, rs=rs, nk=nk,
+                                       out_dtype=out_dtype)
+            in_specs = [xspec_lo, xspec_hi, xspec_lo, xspec_hi, wspec,
+                        side_spec, side_spec]
+            operands = (xa, xa, xb, xb, qw2, scales2, zeros2)
+        else:
+            kernel = functools.partial(_int4_kernel_pfx, rs=rs, nk=nk,
+                                       out_dtype=out_dtype)
+            in_specs = [xspec_lo, xspec_hi, wspec, side_spec, side_spec]
+            operands = (x2, x2, qw2, scales2, zeros2)
     else:
-        kernel = functools.partial(_int8_kernel_pfx, rs=rs,
-                                   out_dtype=out_dtype)
-        in_specs = [
-            pl.BlockSpec((tm, tpk), lambda i, j, kk, l: (i, kk)),
-            pl.BlockSpec((tpk, tn),
-                         lambda i, j, kk, l, _nk=nk: (l[0] * _nk + kk, j)),
-            side_spec,
-            side_spec,
-        ]
-        operands = (x2, qw2, scales2, zeros2)
+        if activation_bits == 16:
+            xa, xb = x2
+            kernel = functools.partial(_int8_kernel_a16_pfx, rs=rs,
+                                       out_dtype=out_dtype)
+            in_specs = [xspec_lo, xspec_lo, wspec, side_spec, side_spec]
+            operands = (xa, xb, qw2, scales2, zeros2)
+        else:
+            kernel = functools.partial(_int8_kernel_pfx, rs=rs,
+                                       out_dtype=out_dtype)
+            in_specs = [xspec_lo, wspec, side_spec, side_spec]
+            operands = (x2, qw2, scales2, zeros2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -138,6 +138,59 @@ def test_w4a8_close_to_full_precision(weight, spec):
     assert rel < 0.01, rel
 
 
+@pytest.mark.parametrize("spec", [
+    QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False),
+    QuantSpec(fmt="int", bits=4, group_size=64, symmetric=True),
+    QuantSpec(fmt="int", bits=8, group_size=128, symmetric=False),
+])
+@pytest.mark.parametrize("m", [1, 4])
+def test_a16_matches_full_precision(weight, spec, m):
+    """A16 (16-bit fixed-point activations, split-int8 MXU passes): the
+    per-row quantization error is ~2^-15 of the row absmax -- far below the
+    f32 comparison tolerance, unlike the a8 path's 1% (the FIGLUT-I intent
+    of reference quant_linear.py:19-81, realized with 16 > 12 mantissa
+    bits)."""
+    rng = np.random.default_rng(11)
+    qt = quantize_tensor(weight, spec)
+    x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
+    y_ref = np.asarray(x @ dequantize_weight(qt))
+    y = np.asarray(fused_quantized_matmul(x, qt, interpret=True,
+                                          activation_bits=16))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 2e-4, rel
+
+
+def test_a16_stacked_and_fallbacks(weight):
+    """Stacked a16 kernel matches; lut/3-bit artifacts silently degrade a16
+    to the full-precision path instead of crashing (engine-wide default)."""
+    rng = np.random.default_rng(12)
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    qts = [quantize_tensor(
+        jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.05),
+        spec) for _ in range(2)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    y_ref = np.asarray(x @ dequantize_weight(qts[1]))
+    y = np.asarray(fused_quantized_matmul_stacked(
+        x, stacked, 1, interpret=True, activation_bits=16))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 2e-4, rel
+
+    # lut artifact: a16 degrades to full precision, no crash
+    from iron_weight_only_quant_tpu.config import fp_spec
+
+    fp4 = fp_spec("fp4", 2, 1, group_size=128)
+    qt_lut = quantize_tensor(jnp.asarray(
+        rng.normal(size=(512, 256)).astype(np.float32) * 0.05), fp4)
+    if qt_lut.mode == "lut" and kernel_supported(qt_lut):
+        x2 = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+        y_lut = np.asarray(fused_quantized_matmul(
+            x2, qt_lut, interpret=True, activation_bits=16))
+        y_lut_ref = np.asarray(x2 @ dequantize_weight(qt_lut))
+        rel = np.linalg.norm(y_lut - y_lut_ref) / np.linalg.norm(y_lut_ref)
+        assert rel < 1e-3, rel
+
+
 @pytest.mark.parametrize("side_dtype", [jnp.float16, jnp.bfloat16])
 def test_16bit_side_info(weight, side_dtype):
     """Scales/zeros stored at 16 bit flow through both kernel and XLA paths;
