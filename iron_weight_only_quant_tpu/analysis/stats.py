@@ -28,7 +28,8 @@ from ..quantize.qtensor import QuantizedTensor
 
 
 def _logical_codes(qt: QuantizedTensor) -> np.ndarray:
-    codes = np.asarray(unpack_codes_sharded(qt.qweight, packed_bits(qt), qt.k, qt.k_shards))
+    codes = np.asarray(unpack_codes_sharded(
+        qt.qweight, packed_bits(qt), qt.k_stored, qt.k_shards))[: qt.k]
     if packed_bits(qt) == 8:
         codes = codes + 128  # stored shifted (packing.py)
     return codes

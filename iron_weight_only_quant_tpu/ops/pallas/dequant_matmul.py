@@ -517,6 +517,7 @@ def _plan_tiles3(n: int, k: int, rows: int, tm: int):
 
 def _layout3_supported(qt: QuantizedTensor, rows: int) -> bool:
     k, n = qt.shape
+    k = k + qt.k_pad
     n = n + qt.n_pad
     if k % 8 or (k // 8) % 128:
         return False
@@ -569,6 +570,7 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
     if qt.mode == "lut" and qt.qweight.ndim != 2:
         return False  # stacked lut kernels not implemented
     k, n = qt.shape
+    k = k + qt.k_pad
     n = n + qt.n_pad
     if _pick_tn(n) is None:
         return False
@@ -697,6 +699,12 @@ def _prep_x(x: jnp.ndarray, k: int, activation_bits: Optional[int]):
     return x2, m, m_pad, tm, out_dtype, out_scale
 
 
+def _pad_x_k(x2, k_pad: int):
+    """Zero-pad the activation K columns to the artifact's stored K."""
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, k_pad)))
+    return tuple(pad(p) for p in x2) if isinstance(x2, tuple) else pad(x2)
+
+
 def _finish(out, x, qt, m, m_pad, out_scale):
     n_logical = qt.shape[1]
     if m_pad != m:
@@ -801,6 +809,12 @@ def fused_quantized_matmul(
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
+    if qt.k_pad:
+        # stored K is padded (whole zero groups); zero-pad x to match so the
+        # padded rows contribute exactly 0 (pad AFTER activation quant so
+        # row absmax scales see only real columns)
+        x2 = _pad_x_k(x2, qt.k_pad)
+        k = k + qt.k_pad
 
     rows = qt.scales.shape[0]
     if bits == 3:
@@ -960,6 +974,9 @@ def fused_quantized_matmul_stacked(
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
+    if qt.k_pad:
+        x2 = _pad_x_k(x2, qt.k_pad)
+        k = k + qt.k_pad
 
     rows = qt.scales.shape[1]
     kp = k // 2 if bits == 4 else k

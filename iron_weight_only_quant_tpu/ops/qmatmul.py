@@ -27,8 +27,10 @@ def packed_bits(qt: QuantizedTensor) -> int:
 
 def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """Packed artifact -> dense ``[K, N]`` weight (the XLA reference path)."""
-    codes = unpack_codes_sharded(qt.qweight, packed_bits(qt), qt.k, qt.k_shards)
-    k = qt.k
+    codes = unpack_codes_sharded(
+        qt.qweight, packed_bits(qt), qt.k_stored, qt.k_shards
+    )
+    k = qt.k_stored
     scales = qt.scales.astype(jnp.float32)
     # broadcast per-group side info over K: [K/G, N] -> [K, N]
     def expand(side):
@@ -46,6 +48,8 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
         w = qt.codebook[codes] * expand(scales)
         if qt.zeros is not None:
             w = w + expand(qt.zeros.astype(jnp.float32))
+    if qt.k_pad:
+        w = w[: qt.k]
     if qt.n_pad:
         w = w[:, : qt.n]
     return w.astype(dtype)

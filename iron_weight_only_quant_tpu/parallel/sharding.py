@@ -111,7 +111,7 @@ def _leaf_sharding(value: Any, spec, mesh: Mesh):
             place(value.zeros, side_spec(value.zeros)),
             place(value.codebook, P()) if value.codebook is not None else None,
             value.spec, value.shape, value.mode, value.k_shards,
-            value.n_pad,
+            value.n_pad, value.k_pad,
         )
     spec = _compatible_spec(value.shape, spec, mesh)
     return jax.device_put(value, NamedSharding(mesh, spec))

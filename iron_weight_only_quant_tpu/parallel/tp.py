@@ -48,7 +48,7 @@ def _side_specs(qt: QuantizedTensor, row_shard: bool, axis: str):
 
 def _local_qt(qt: QuantizedTensor, qw, s, z, k_local: int, n_local: int):
     return QuantizedTensor(qw, s, z, None, qt.spec, (k_local, n_local), qt.mode, 1,
-                           qt.n_pad)
+                           qt.n_pad, qt.k_pad)
 
 
 def tp_column_matmul(

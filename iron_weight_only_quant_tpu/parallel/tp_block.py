@@ -91,7 +91,7 @@ def _qt_spec(qt: QuantizedTensor, row: bool) -> Dict[str, Any]:
         w, side(qt.scales),
         side(qt.zeros) if qt.zeros is not None else None,
         P() if qt.codebook is not None else None,
-        qt.spec, qt.shape, qt.mode, qt.k_shards, qt.n_pad,
+        qt.spec, qt.shape, qt.mode, qt.k_shards, qt.n_pad, qt.k_pad,
     )
 
 
@@ -144,11 +144,14 @@ def _local_view(lin, d: int, row: bool):
         return lin
     k, n = w.shape
     if row:
+        if w.k_pad:
+            raise NotImplementedError("row-parallel TP over a K-padded artifact")
         local = QuantizedTensor(w.qweight, w.scales, w.zeros, w.codebook,
                                 w.spec, (k // d, n), w.mode, 1, w.n_pad)
     else:
         local = QuantizedTensor(w.qweight, w.scales, w.zeros, w.codebook,
-                                w.spec, (k, n // d), w.mode, 1, w.n_pad)
+                                w.spec, (k, n // d), w.mode, 1, w.n_pad,
+                                w.k_pad)
     return {**lin, "w": local}
 
 

@@ -60,6 +60,7 @@ def save_artifact(path: str, family: str, cfg, params: Dict[str, Any]) -> None:
                 "mode": node.mode,
                 "k_shards": node.k_shards,
                 "n_pad": node.n_pad,
+                "k_pad": node.k_pad,
                 "has_zeros": node.zeros is not None,
                 "has_codebook": node.codebook is not None,
             }
@@ -164,6 +165,7 @@ def load_artifact(path: str, dtype=None) -> Tuple[str, Any, Dict[str, Any]]:
                 info["mode"],
                 info.get("k_shards", 1),
                 info.get("n_pad", 0),
+                info.get("k_pad", 0),
             )
             assign(key, qt)
         else:

@@ -49,6 +49,12 @@ class QuantizedTensor:
     # to a 512-multiple so the fused kernel gets full-width tiles); ``shape``
     # stays logical, consumers slice the padded columns off
     n_pad: int = struct.field(pytree_node=False, default=0)
+    # zero-padding of the K dim in storage, in whole quantization groups
+    # (awkward reduction dims like 11008 -> packed 5504 = 43*128 only admit
+    # tiny 128-row kernel tiles; padding to a 1024-multiple unlocks 512-row
+    # tiles).  Exact: padded groups see only the kernel's zero-padded x rows,
+    # so they contribute exactly 0.  ``shape`` stays logical.
+    k_pad: int = struct.field(pytree_node=False, default=0)
     # optional int32 [K/G, N] with (bf16 zero | bf16 scale) bit-packed per
     # lane: the fused kernel reads ONE 32-bit side row per group (f32-load
     # alignment, one DMA stream instead of two, half the side bytes) and
@@ -60,6 +66,10 @@ class QuantizedTensor:
     @property
     def k(self) -> int:
         return self.shape[0]
+
+    @property
+    def k_stored(self) -> int:
+        return self.shape[0] + self.k_pad
 
     @property
     def n(self) -> int:
@@ -92,7 +102,7 @@ def repack_k_shards(qt: QuantizedTensor, k_shards: int) -> QuantizedTensor:
     from ..ops.qmatmul import packed_bits
 
     bits = packed_bits(qt)
-    codes = unpack_codes_sharded(qt.qweight, bits, qt.k, qt.k_shards)
+    codes = unpack_codes_sharded(qt.qweight, bits, qt.k_stored, qt.k_shards)
     return qt.replace(
         qweight=pack_codes_sharded(codes, bits, k_shards), k_shards=k_shards
     )
@@ -112,6 +122,7 @@ def concat_n(qts) -> "QuantizedTensor":
     for qt in qts[1:]:
         if (qt.spec != first.spec or qt.mode != first.mode
                 or qt.shape[0] != first.shape[0] or qt.k_shards != first.k_shards
+                or qt.k_pad != first.k_pad
                 or qt.scales.shape[0] != first.scales.shape[0]
                 or (qt.zeros is None) != (first.zeros is None)
                 or (qt.side_packed is None) != (first.side_packed is None)):
@@ -128,6 +139,7 @@ def concat_n(qts) -> "QuantizedTensor":
         first.mode,
         k_shards=first.k_shards,
         n_pad=0,
+        k_pad=first.k_pad,
         side_packed=None if first.side_packed is None
         else jnp.concatenate([qt.side_packed for qt in qts], axis=-1),
     )

@@ -101,7 +101,7 @@ def native_quantize_tensor(
 
 def quantize_tensor(
     w: jnp.ndarray, spec: QuantSpec, k_shards: int = 1, pad_n_to: int = 1,
-    side_dtype=None,
+    side_dtype=None, pad_k_to: int = 1,
 ) -> QuantizedTensor:
     """Quantize an ``[K, N]`` kernel into a packed artifact (RTN path).
 
@@ -109,6 +109,14 @@ def quantize_tensor(
     segments so the artifact can be row-parallel sharded (see packing.py).
     ``pad_n_to`` zero-pads stored output columns to that multiple so the
     fused kernel always gets full-width tiles (``shape`` stays logical).
+    ``pad_k_to`` zero-pads stored *reduction* rows to that multiple, in
+    whole quantization groups (awkward K like 11008 only admits 128-row
+    kernel tiles; padding to a 1024-multiple unlocks >=1408-row tiles for
+    +2.3% stored bytes).  Exact: padded rows only ever multiply the
+    kernel's zero-padded x columns, so they contribute exactly 0, and
+    whole-group padding leaves real groups' scales untouched.  Skipped
+    (k_pad=0) when the spec is not grouped or the multiple would split a
+    group.
     ``side_dtype`` stores scales/zeros at reduced precision (e.g.
     ``jnp.float16`` -- the dtype the reference itself keeps scales in,
     quant_linear.py buffers are fp16): at g128 the f32 side-info stream is
@@ -134,12 +142,19 @@ def quantize_tensor(
         n_pad = pad_n_to - n % pad_n_to
         w = jnp.pad(w, ((0, 0), (0, n_pad)))
     n_stored = n + n_pad
+    k_pad = 0
+    if (pad_k_to > 1 and k % pad_k_to != 0 and spec.group_size > 0
+            and pad_k_to % spec.group_size == 0 and k % spec.group_size == 0
+            and k_shards == 1):
+        k_pad = pad_k_to - k % pad_k_to
+        w = jnp.pad(w, ((0, k_pad), (0, 0)))
+    k_stored = k + k_pad
     groups = make_groups(w.astype(jnp.float32), spec.group_size, 0)
     enc = quantize_groups(groups, spec)
 
     def codes_to_kernel(codes: jnp.ndarray) -> jnp.ndarray:
         # grouped codes -> [K, N] kernel orientation
-        return codes.reshape(n_stored, k).T
+        return codes.reshape(n_stored, k_stored).T
 
     if spec.fmt == "int":
         codes = codes_to_kernel(enc.codes)
@@ -148,8 +163,8 @@ def quantize_tensor(
             codes = codes + off
             zeros = jnp.full((1, 1), float(off), jnp.float32)
         else:
-            zeros = _kernel_layout(enc.zeros, k, n_stored, spec.group_size)
-        scales = _kernel_layout(enc.scales, k, n_stored, spec.group_size)
+            zeros = _kernel_layout(enc.zeros, k_stored, n_stored, spec.group_size)
+        scales = _kernel_layout(enc.scales, k_stored, n_stored, spec.group_size)
         if packing_for_bits(spec.bits)[0] == "byte":
             # byte layouts store two's-complement code-128 (see packing.py);
             # shifting the zero-point keeps (code - zero) invariant
@@ -157,7 +172,7 @@ def quantize_tensor(
             zeros = zeros - 128.0
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
         return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros),
-                               None, spec, (k, n), "affine", k_shards, n_pad)
+                               None, spec, (k, n), "affine", k_shards, n_pad, k_pad)
 
     if spec.fmt == "bfp":
         codes = codes_to_kernel(enc.codes)
@@ -172,23 +187,23 @@ def quantize_tensor(
         target_mant_bits = min(spec.bits - 1, 11)
         frac = target_mant_bits - 1
         scales_g = jnp.exp2((enc.exp_block - 15 - frac).astype(jnp.float32))
-        scales = _kernel_layout(scales_g, k, n_stored, spec.group_size)
+        scales = _kernel_layout(scales_g, k_stored, n_stored, spec.group_size)
         qweight = pack_codes_sharded(codes, spec.bits, k_shards)
         return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros),
-                               None, spec, (k, n), "affine", k_shards, n_pad)
+                               None, spec, (k, n), "affine", k_shards, n_pad, k_pad)
 
     # minifloat: LUT mode
     fmt = spec.float_format
     align = spec.effective_align(_align_kind(fmt)) if spec.approximate else None
     book = jnp.asarray(minifloat_codebook(fmt, align))
     codes = codes_to_kernel(enc.codes)
-    scales = _kernel_layout(enc.scales, k, n_stored, spec.group_size)
+    scales = _kernel_layout(enc.scales, k_stored, n_stored, spec.group_size)
     zeros = (
-        _kernel_layout(enc.zeros, k, n_stored, spec.group_size) if enc.zeros is not None else None
+        _kernel_layout(enc.zeros, k_stored, n_stored, spec.group_size) if enc.zeros is not None else None
     )
     store_bits = fmt.total_bits if fmt.total_bits in (2, 4) else 8
     if store_bits == 8:
         codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
     qweight = pack_codes_sharded(codes, store_bits, k_shards)
     return QuantizedTensor(qweight, cast_side(scales), cast_side(zeros), book,
-                           spec, (k, n), "lut", k_shards, n_pad)
+                           spec, (k, n), "lut", k_shards, n_pad, k_pad)

@@ -110,6 +110,73 @@ class TestQuantizedTensor:
             )
 
 
+class TestKPadding:
+    """K-dim storage padding: whole zero groups appended so awkward K
+    (e.g. llama's 11008 intermediate) gets large kernel tiles; logical
+    results must be untouched."""
+
+    def test_padded_matches_oracle(self, weight, rng):
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight, spec, pad_k_to=512)
+        assert qt.k_pad == 512 - 256 and qt.k_stored == 512
+        deq = dequantize_weight(qt)
+        assert deq.shape == weight.shape
+        np.testing.assert_array_equal(np.asarray(deq),
+                                      np.asarray(fake_quantize(weight, spec)))
+        x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+        y = quantized_matmul(x, qt, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ deq),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_padded_kernel_interpret(self, weight, rng, bits):
+        from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+            fused_quantized_matmul,
+            kernel_supported,
+        )
+
+        spec = QuantSpec(fmt="int", bits=bits, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight, spec, pad_k_to=512, pad_n_to=512)
+        assert qt.k_pad == 256 and kernel_supported(qt)
+        x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+        y = fused_quantized_matmul(x, qt, interpret=True)
+        assert y.shape == (4, 192)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(x @ dequantize_weight(qt)),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_skipped_when_not_whole_groups(self, weight):
+        # per-channel spec: padding would change column min/max -> skipped
+        spec = QuantSpec(fmt="int", bits=4, group_size=PER_CHANNEL,
+                         symmetric=False)
+        qt = quantize_tensor(weight, spec, pad_k_to=512)
+        assert qt.k_pad == 0
+        # group size not dividing the multiple -> skipped too
+        spec = QuantSpec(fmt="int", bits=4, group_size=96, symmetric=False)
+        w = jnp.asarray(np.asarray(weight)[:192])
+        qt = quantize_tensor(w, spec, pad_k_to=512)
+        assert qt.k_pad == 0
+
+    def test_artifact_roundtrip_keeps_k_pad(self, weight, tmp_path):
+        from iron_weight_only_quant_tpu.models.llama import LlamaConfig
+        from iron_weight_only_quant_tpu.quantize.artifact import (
+            load_artifact,
+            save_artifact,
+        )
+
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight, spec, pad_k_to=512)
+        cfg = LlamaConfig(hidden_size=8, num_layers=1, num_heads=2,
+                          intermediate_size=16, vocab_size=32)
+        save_artifact(str(tmp_path / "a"), "llama", cfg,
+                      {"lin": {"w": qt, "b": None}})
+        _, _, params = load_artifact(str(tmp_path / "a"))
+        qt2 = params["lin"]["w"]
+        assert qt2.k_pad == qt.k_pad and qt2.shape == qt.shape
+        np.testing.assert_array_equal(np.asarray(dequantize_weight(qt2)),
+                                      np.asarray(dequantize_weight(qt)))
+
+
 class TestNPadding:
     def test_padded_matches_oracle(self, weight, rng):
         # N=192 padded to 512-multiple -> n_pad=320
