@@ -187,7 +187,7 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
         "serve_requests": len(reqs),
         "serve_chunk": chunk,
         "serve_wall_s": round(t, 2),
-        "serve_note": "prompts stream token-wise (no prefill batching); "
+        "serve_note": "prompts batch-prefill in right-padded waves; "
                       "generated-token throughput only",
         "serve_steps_approx": total_steps,
     }

@@ -106,6 +106,38 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
     return jnp.swapaxes(sampled, 0, 1), caches
 
 
+@partial(jax.jit,
+         static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
+                          "abits"),
+         donate_argnames=("caches",))
+def _serve_prefill(params, toks, n_valid, lens0, caches, rng, forward, cfg,
+                   temperature, top_k, t_max, abits=None):
+    """One [B, S] prompt-chunk forward for continuous batching.
+
+    ``toks[s, :n_valid[s]]`` are slot ``s``'s next prompt tokens (right-
+    padded; ``n_valid[s] == 0`` for slots not prefilling this wave).  Cache
+    views arrive with ``valid = n_valid`` so each slot writes exactly its
+    real tokens at its own columns and non-prefilling slots' state is
+    untouched.  Returns per-slot sampled tokens from each slot's LAST real
+    column (the first generated token for slots whose prompt completes this
+    wave; garbage otherwise — the host decides).
+    """
+    from ..ops.qmatmul import activation_quant
+
+    cols = jnp.arange(t_max)
+    s = toks.shape[1]
+    lens_c = jnp.minimum(lens0, t_max - 1)
+    positions = jnp.minimum(lens_c[:, None] + jnp.arange(s)[None, :], t_max - 1)
+    mask = cols[None, None, None, :] <= positions[:, None, :, None]
+    with activation_quant(abits):
+        logits, caches = forward(params, toks, cfg, caches=caches,
+                                 positions=positions, attn_mask=mask)
+    idx = jnp.clip(n_valid - 1, 0, s - 1)
+    last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    nxt = sample_tokens(last, rng, temperature, top_k)
+    return nxt, caches
+
+
 class InferenceEngine:
     """Batch generation over a (possibly quantized, possibly sharded) model."""
 
@@ -373,13 +405,15 @@ class InferenceEngine:
                     table_np[s, len(slot_pages[s])] = pg
                     slot_pages[s].append(pg)
 
-        def set_lengths(caches, lens_np):
+        def set_lengths(caches, lens_np, valid_np=None):
             out = []
             for c in caches:
                 # fresh array per layer: the decode step donates its inputs
                 # and a shared buffer may not be donated twice
                 lens = jnp.asarray(lens_np, jnp.int32)
                 upd = {"length": lens}
+                upd["valid"] = (None if valid_np is None
+                                else jnp.asarray(valid_np, jnp.int32))
                 if paged:
                     upd["page_table"] = jnp.asarray(table_np)
                 out.append(c._replace(**upd) if hasattr(c, "_replace")
@@ -387,6 +421,7 @@ class InferenceEngine:
             return out
 
         chunk = max(1, int(chunk))
+        prefill_cap = max(8, self.engine_cfg.prefill_chunk)
         while queue or any(r >= 0 for r in slot_req):
             # admit queued requests into idle slots (deferred under paging
             # until the pool has a page for the new request's first column)
@@ -395,21 +430,72 @@ class InferenceEngine:
                     not paged or allocator.free_count > 0
                 ):
                     admit(s)
+
+            # ---- prefill wave: slots with unfed prompt tokens get them in
+            # one [B, S] forward (right-padded; per-slot `valid` counts keep
+            # other slots' cache state untouched).  S is a power-of-2 bucket
+            # so distinct compiled programs stay few.
+            remaining = np.array([
+                len(requests[slot_req[s]]) - slot_fed[s] if slot_req[s] >= 0
+                else 0
+                for s in range(nslots)
+            ])
+            if remaining.max(initial=0) > 0:
+                cap = int(min(remaining.max(), prefill_cap))
+                sbkt = 8
+                while sbkt < cap:
+                    sbkt *= 2
+                toks_np = np.zeros((nslots, sbkt), np.int64)
+                valid_np = np.zeros(nslots, np.int64)
+                for s in range(nslots):
+                    cnt = int(min(remaining[s], sbkt))
+                    if cnt <= 0:
+                        continue
+                    rid = slot_req[s]
+                    toks_np[s, :cnt] = requests[rid][
+                        slot_fed[s] : slot_fed[s] + cnt
+                    ]
+                    valid_np[s] = cnt
+                lens_np = np.minimum(slot_len, t_max - 1)
+                if paged:
+                    ensure_pages(
+                        np.minimum(lens_np + np.maximum(valid_np, 1) - 1,
+                                   t_max - 1)
+                    )
+                caches = set_lengths(caches, lens_np, valid_np)
+                rng, sub = jax.random.split(rng)
+                nxt, caches = _serve_prefill(
+                    self.params, jnp.asarray(toks_np, jnp.int32),
+                    jnp.asarray(valid_np, jnp.int32),
+                    jnp.asarray(lens_np, jnp.int32), caches, sub,
+                    self.forward, self.cfg, temperature, top_k, t_max,
+                    self.engine_cfg.activation_bits,
+                )
+                nxt_np = np.asarray(nxt)
+                for s in range(nslots):
+                    if valid_np[s] <= 0:
+                        continue
+                    rid = slot_req[s]
+                    slot_fed[s] += valid_np[s]
+                    slot_len[s] += valid_np[s]
+                    if slot_fed[s] < len(requests[rid]):
+                        continue  # long prompt: next wave feeds the rest
+                    tok = int(nxt_np[s])  # first generated token
+                    results[rid].append(tok)
+                    slot_gen[s] += 1
+                    if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
+                        release(s)
+                    else:
+                        pending_tok[s] = tok
+                continue  # re-admit / re-check prefill before decoding
+
             c = chunk
             toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
-            # per-slot prompt tokens queued as step inputs within the chunk:
-            # feed_next[s, i] is the input for step i+1 while i+1 < feed_len
+            # prompts are fully prefilled by the wave above, so every chunk
+            # step consumes a sampled token (the feed path in _serve_chunk
+            # is inert: feed_len == 0)
             feed_next = np.zeros((nslots, c), np.int64)
             feed_len = np.zeros(nslots, np.int64)
-            for s in range(nslots):
-                rid = slot_req[s]
-                if rid < 0:
-                    continue
-                prompt = requests[rid]
-                remaining = prompt[slot_fed[s] : slot_fed[s] + c]
-                feed_len[s] = len(remaining)
-                for i, tk in enumerate(remaining[1:], start=1):
-                    feed_next[s, i - 1] = tk
             # this chunk's tokens are written at the slot's own columns; idle
             # slots keep writing (and reading) garbage that nothing consumes
             # (page-table entry 0 -> the reserved garbage page under paging)

@@ -45,6 +45,9 @@ class QuantKVCacheView:
     bits: int = struct.field(pytree_node=False)
     group: int = struct.field(pytree_node=False)
     packed: bool = struct.field(pytree_node=False, default=False)
+    # [B] int32 per-slot real-token counts for the next write (serve prefill;
+    # see models.common.KVCacheView.valid)
+    valid: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
@@ -75,6 +78,9 @@ class PagedKVCacheView:
     bits: int = struct.field(pytree_node=False, default=16)
     group: int = struct.field(pytree_node=False, default=128)
     packed: bool = struct.field(pytree_node=False, default=False)
+    # [B] int32 per-slot real-token counts for the next write (serve prefill;
+    # invalid tokens are redirected to the reserved garbage page 0)
+    valid: Optional[jnp.ndarray] = None
 
 
 CacheView = Union[KVCacheView, QuantKVCacheView, PagedKVCacheView]
@@ -268,6 +274,12 @@ def _paged_update_and_fetch(cache: PagedKVCacheView, k_new, v_new):
     slot_page = jnp.clip(t // page, 0, mp - 1)
     pidx = jnp.take_along_axis(cache.page_table, slot_page, axis=1)  # [B, S]
     poff = t % page
+    adv = s
+    if cache.valid is not None:  # per-slot partial write (serve prefill)
+        invalid = jnp.arange(s)[None, :] >= cache.valid[:, None]
+        pidx = jnp.where(invalid, 0, pidx)  # garbage page
+        poff = jnp.where(invalid, 0, poff)
+        adv = cache.valid
 
     if quant:
         kc, ks, kz = _encode(k_new, cache.bits, cache.group, cache.packed)
@@ -279,13 +291,15 @@ def _paged_update_and_fetch(cache: PagedKVCacheView, k_new, v_new):
             k_zeros=cache.k_zeros.at[pidx, poff].set(kz),
             v_scales=cache.v_scales.at[pidx, poff].set(vs),
             v_zeros=cache.v_zeros.at[pidx, poff].set(vz),
-            length=cache.length + s,
+            length=cache.length + adv,
+            valid=None,
         )
     else:
         cache = cache.replace(
             k_pages=cache.k_pages.at[pidx, poff].set(k_new.astype(cache.k_pages.dtype)),
             v_pages=cache.v_pages.at[pidx, poff].set(v_new.astype(cache.v_pages.dtype)),
-            length=cache.length + s,
+            length=cache.length + adv,
+            valid=None,
         )
 
     # one static-shape gather materializes the slot-ordered timeline
@@ -327,6 +341,11 @@ class StackedCacheAt:
 
 def _stacked_update_and_fetch(caches, l, k_new: jnp.ndarray, v_new: jnp.ndarray):
     """In-place layer-``l`` append on a stacked ([L, ...]) cache pytree."""
+    if getattr(caches, "valid", None) is not None:
+        raise NotImplementedError(
+            "per-slot partial writes (valid) are not supported on stacked "
+            "scan caches"
+        )
     if getattr(caches.length, "ndim", 0) != 1:
         raise NotImplementedError(
             "stacked scan caches require one scalar timeline per layer "
@@ -391,10 +410,24 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
 
     start = cache.length
     d = k_new.shape[-1]
+    s = k_new.shape[1]
     kc, ks, kz = _encode(k_new, cache.bits, cache.group, cache.packed)
     vc, vs, vz = _encode(v_new, cache.bits, cache.group, cache.packed)
 
-    if getattr(start, "ndim", 0) == 1:  # slot-local timelines ([B] starts)
+    adv = s
+    if cache.valid is not None:  # per-slot partial write (serve prefill)
+        if getattr(start, "ndim", 0) != 1:
+            raise ValueError("QuantKVCacheView.valid requires [B] lengths")
+        t_max = cache.k_codes.shape[1]
+        t = start[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        t = jnp.where(jnp.arange(s)[None, :] < cache.valid[:, None], t, t_max)
+        b_idx = jnp.arange(cache.k_codes.shape[0])[:, None]
+
+        def upd(buf, val):
+            return buf.at[b_idx, t].set(val.astype(buf.dtype), mode="drop")
+
+        adv = cache.valid
+    elif getattr(start, "ndim", 0) == 1:  # slot-local timelines ([B] starts)
         def upd(buf, val):
             return jax.vmap(
                 lambda b, v, st: jax.lax.dynamic_update_slice(
@@ -410,7 +443,7 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
     cache = QuantKVCacheView(
         upd(cache.k_codes, kc), upd(cache.k_scales, ks), upd(cache.k_zeros, kz),
         upd(cache.v_codes, vc), upd(cache.v_scales, vs), upd(cache.v_zeros, vz),
-        cache.length + k_new.shape[1], cache.bits, cache.group, cache.packed,
+        cache.length + adv, cache.bits, cache.group, cache.packed,
     )
     k_all = _decode(cache.k_codes, cache.k_scales, cache.k_zeros, d, k_new.dtype,
                     cache.packed)

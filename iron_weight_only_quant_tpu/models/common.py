@@ -206,11 +206,19 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 # ------------------------------------------------------------- attention
 
 class KVCacheView(NamedTuple):
-    """Per-layer cache slab: k/v ``[B, T_max, H_kv, D]`` + current length."""
+    """Per-layer cache slab: k/v ``[B, T_max, H_kv, D]`` + current length.
+
+    ``valid`` (optional, ``[B]`` int32, slot-local timelines only) marks how
+    many of the next write's S tokens are real per slot: writes beyond a
+    slot's count are dropped and its length advances by the count, not by S.
+    The engine's serve prefill uses this to feed right-padded prompt chunks
+    through one [B, S] program without corrupting non-prefilling slots.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
-    length: jnp.ndarray  # scalar int32
+    length: jnp.ndarray  # scalar int32 or [B] int32 (slot-local)
+    valid: Optional[jnp.ndarray] = None  # [B] int32, next-write token counts
 
 
 def attend(
@@ -280,6 +288,24 @@ def update_kv_cache(
     own start column.
     """
     start = cache.length
+    s = k_new.shape[1]
+    if cache.valid is not None:
+        # per-slot partial write: token i of slot b lands at column
+        # start[b]+i when i < valid[b], else is dropped (index t_max is out
+        # of range -> mode="drop").  Length advances by the per-slot count.
+        if getattr(start, "ndim", 0) != 1:
+            raise ValueError("KVCacheView.valid requires [B] slot-local lengths")
+        t_max = cache.k.shape[1]
+        t = start[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        t = jnp.where(jnp.arange(s)[None, :] < cache.valid[:, None], t, t_max)
+        b_idx = jnp.arange(cache.k.shape[0])[:, None]
+
+        def upd(buf, val):
+            return buf.at[b_idx, t].set(val.astype(buf.dtype), mode="drop")
+
+        return KVCacheView(
+            upd(cache.k, k_new), upd(cache.v, v_new), start + cache.valid
+        )
     if getattr(start, "ndim", 0) == 1:
         def upd(buf, val):
             return jax.vmap(
@@ -296,4 +322,4 @@ def update_kv_cache(
         v = jax.lax.dynamic_update_slice(
             cache.v, v_new.astype(cache.v.dtype), (0, start, 0, 0)
         )
-    return KVCacheView(k, v, cache.length + k_new.shape[1])
+    return KVCacheView(k, v, cache.length + s)

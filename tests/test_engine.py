@@ -101,6 +101,66 @@ class TestContinuousBatching:
         with pytest.raises(ValueError):
             eng.serve([[1] * 6], max_new_tokens=4)
 
+    def test_serve_multiwave_prefill(self, tiny_model):
+        """Prompts longer than prefill_chunk feed over several prefill
+        waves (the bucket floor is 8 tokens) and still match generate."""
+        cfg, params = tiny_model
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64), max_batch_size=2,
+                            prefill_chunk=1)
+        eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg)
+        rng = np.random.default_rng(5)
+        reqs = [list(map(int, rng.integers(1, 50, size=n)))
+                for n in (21, 3, 17, 9)]
+        served = eng.serve(reqs, max_new_tokens=4)
+        for r, got in zip(reqs, served):
+            want = eng.generate([r], max_new_tokens=4)[0]
+            assert got == want, r
+
+
+class TestPartialValidWrites:
+    """Per-slot `valid` counts on cache writes (the serve-prefill mechanism):
+    invalid tokens must be dropped and other slots' state left untouched."""
+
+    @pytest.mark.parametrize("kv", [
+        {},                                      # dense bf16/f32 cache
+        {"kv_bits": 8, "kv_group_size": 8},      # int8 quantized
+        {"kv_bits": 4, "kv_group_size": 8},      # int4 nibble-packed
+        {"paged": True, "page_size": 4},         # paged dense
+    ])
+    def test_partial_write_matches_exact_write(self, kv):
+        caches = make_caches(
+            1, 2, 2, 16, KVCacheConfig(max_seq_len=16, **kv), jnp.float32
+        )
+        c0 = caches[0]
+        lens = jnp.asarray([3, 1], jnp.int32)
+        if hasattr(c0, "page_table"):
+            # simple identity-ish table: slot 0 pages 1..4, slot 1 pages 5..8
+            table = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+            c0 = c0.replace(page_table=table, length=lens)
+        else:
+            c0 = (c0._replace(length=lens) if hasattr(c0, "_replace")
+                  else c0.replace(length=lens))
+
+        rng = np.random.default_rng(2)
+        new = jnp.asarray(rng.normal(size=(2, 4, 2, 16)).astype(np.float32))
+        vnew = jnp.asarray(rng.normal(size=(2, 4, 2, 16)).astype(np.float32))
+
+        # partial: slot 0 takes 4 tokens, slot 1 takes 2
+        valid = jnp.asarray([4, 2], jnp.int32)
+        cp = (c0._replace(valid=valid) if hasattr(c0, "_replace")
+              else c0.replace(valid=valid))
+        cache_p, k_all, _ = update_and_fetch(cp, new, vnew)
+        np.testing.assert_array_equal(np.asarray(cache_p.length), [7, 3])
+
+        got0 = np.asarray(k_all)[0, 3:7]
+        np.testing.assert_allclose(got0, np.asarray(new)[0], atol=0.3)
+        got1 = np.asarray(k_all)[1, 1:3]
+        np.testing.assert_allclose(got1, np.asarray(new)[1, :2], atol=0.3)
+        # slot 1's dropped tokens must not land anywhere in its timeline
+        # beyond its new length: columns 3..4 still hold the initial zeros
+        tail1 = np.asarray(k_all)[1, 3:5]
+        np.testing.assert_allclose(tail1, 0.0, atol=0.3)
+
 
 class TestQuantizedKV:
     def test_int8_kv_roundtrip(self):
