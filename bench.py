@@ -155,6 +155,88 @@ def _timed(f, *a):
     return time.perf_counter() - t0
 
 
+def _slope_timeit(fn, x, fold="first", iters=(100, 400), reps=3):
+    """Chained-fori slope timing (scripts/tpu_smoke.py methodology): the op
+    runs ``iters`` times with its output folded back into the input, timed at
+    two lengths; per-op time is the slope.  Survives the axon tunnel's ~25 ms
+    fixed dispatch cost and its non-blocking block_until_ready."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def loop(x):
+            def body(i, xc):
+                y = fn(xc)
+                lane = (jnp.sum(y.astype(jnp.float32)) if fold == "sum"
+                        else y.reshape(-1)[0].astype(jnp.float32))
+                return (xc + lane).astype(xc.dtype)
+
+            return jax.lax.fori_loop(0, n, body, x)
+
+        return loop
+
+    def run(loop):
+        float(jnp.sum(loop(x).astype(jnp.float32)))  # warm/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(loop(x).astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    lo, hi = make(iters[0]), make(iters[1])
+    return max((run(hi) - run(lo)) / (iters[1] - iters[0]), 1e-9)
+
+
+def kernel_roofline(spec, rounds=4):
+    """Per-shape kernel-level roofline at the 7B decode shapes.
+
+    Fraction of the *measured* dense bf16 stream (the achievable roofline
+    for this access pattern on this chip) that the fused W4 kernel's packed
+    stream reaches — rate vs rate, so a fraction of 1.0 means the packed
+    kernel moves its (4x fewer) bytes at the same HBM rate the dense matmul
+    moves bf16.  Interleaved minima over ``rounds`` (the chip is shared;
+    contention only adds time — NOTES.md methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+        fused_quantized_matmul,
+    )
+    from iron_weight_only_quant_tpu.quantize import quantize_tensor
+
+    rng = np.random.default_rng(0)
+    m = 8
+    out = {}
+    for k, n in ((4096, 4096), (11008, 4096), (4096, 11008)):
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.02)
+        qt = quantize_tensor(w, spec, pad_n_to=512)
+        wd = w.astype(jnp.bfloat16)
+        x = jnp.asarray(
+            rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16
+        )
+        qbytes = (qt.qweight.size + qt.scales.size * 4
+                  + (qt.zeros.size * 4 if qt.zeros is not None else 0)
+                  + x.size * 2 + m * n * 2)
+        dbytes = k * n * 2 + x.size * 2 + m * n * 2
+
+        f_q = lambda xx, q=qt: fused_quantized_matmul(xx, q)
+        f_d = lambda xx, wref=wd: jnp.dot(xx, wref)
+        t_q = t_d = float("inf")
+        for _ in range(rounds):
+            t_q = min(t_q, _slope_timeit(f_q, x))
+            t_d = min(t_d, _slope_timeit(f_d, x, fold="sum"))
+        qr, dr = qbytes / t_q, dbytes / t_d
+        out[f"{k}x{n}"] = {
+            "w4_us": round(t_q * 1e6, 1),
+            "w4_gbps": round(qr / 1e9, 1),
+            "dense_gbps": round(dr / 1e9, 1),
+            "roofline_frac": round(qr / dr, 3),
+        }
+    return out
+
+
 def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
     """Continuous-batching throughput: mixed-length requests through
     engine.serve with chunked device steps (one host sync per ``chunk``
@@ -204,6 +286,8 @@ def main():
                     help="bf16-pair side info packed into one int32 array")
     ap.add_argument("--no_serve", action="store_true",
                     help="skip the continuous-batching serve measurement")
+    ap.add_argument("--no_kernel_roofline", action="store_true",
+                    help="skip the per-shape kernel roofline measurement")
     ap.add_argument("--model", default="7b", choices=["7b", "13b"],
                     help="llama shape to benchmark (13b implies --scan for "
                          "depth-independent compile time)")
@@ -304,6 +388,10 @@ def main():
     dense_gbps = layer_weight_bytes(cfg, False) / per_layer_bf16 / 1e9
     roofline_frac = w4_gbps / dense_gbps
 
+    kroof = None
+    if not args.no_kernel_roofline and not args.small:
+        kroof = kernel_roofline(spec)
+
     result = {
         "metric": f"llama{args.model}-shape W4g128 decode throughput, 1 chip"
         if not args.small else "tiny W4 decode throughput (sanity)",
@@ -319,6 +407,7 @@ def main():
             "dense_stream_gbps": round(dense_gbps, 1),
             "per_layer_us": round(per_layer_w4 * 1e6, 1),
             "fixed_overhead_us": round(fixed * 1e6, 1),
+            **({"kernel_roofline": kroof} if kroof else {}),
             **(serve_stats or {}),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
             "device": str(jax.devices()[0]),

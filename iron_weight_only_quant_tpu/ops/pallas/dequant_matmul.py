@@ -28,6 +28,7 @@ for blocked pallas_call operands).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -51,6 +52,22 @@ def _pick_tn(n: int) -> Optional[int]:
 
 
 _TILE_BYTES_CAP = 3 * 2**20  # measured knee: >3MB tiles starve the pipeline
+
+# Small-K-tile shapes (tpk=128: 11008-K down-proj -> 43 odd packed tiles)
+# stream measurably faster through the scalar-prefetch grid-spec pipeline
+# than the plain grid (30.2 vs 40.8us on 11008x4096 W4 m=8, interleaved
+# minima, scripts/probe_prefetch_grid.py); larger-tile shapes do not.  The
+# flat entry point re-routes those shapes through the stacked kernel with a
+# leading L=1 axis (a free reshape).  Env override for A/B benching.
+_PREFETCH_FLAT = os.environ.get("IWOQ_PREFETCH_FLAT", "auto")  # auto|never|always
+
+
+def _flat_via_prefetch(tpk: int) -> bool:
+    if _PREFETCH_FLAT == "never":
+        return False
+    if _PREFETCH_FLAT == "always":
+        return True
+    return tpk < 256
 
 
 def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
@@ -808,6 +825,25 @@ def fused_quantized_matmul(
         raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
+
+    # small-K-tile shapes run faster through the scalar-prefetch pipeline:
+    # re-route via the stacked kernel with a leading L=1 axis (free reshape)
+    if (not lut and qt.mode == "affine" and qt.qweight.ndim == 2
+            and qt.spec.storage_bits in (4, 8) and qt.zeros is not None):
+        ks = k + qt.k_pad
+        kp0 = ks // 2 if qt.spec.storage_bits == 4 else ks
+        m0 = 1
+        for d in x.shape[:-1]:
+            m0 *= d
+        tm0 = max(_pick_tm(m0), 32) if activation_bits in (8, 16) else _pick_tm(m0)
+        plan0 = _plan_tiles(n, kp0, ks, qt.scales.shape[0], tm0,
+                            slabs=2 if qt.spec.storage_bits == 4 else 1)
+        if plan0 is not None and _flat_via_prefetch(plan0[1]):
+            qt1 = jax.tree.map(lambda a: a[None], qt)
+            return fused_quantized_matmul_stacked.__wrapped__(
+                x, qt1, jnp.asarray(0, jnp.int32), interpret, activation_bits
+            )
+
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
     if qt.k_pad:
         # stored K is padded (whole zero groups); zero-pad x to match so the
