@@ -286,6 +286,9 @@ def main():
                     help="bf16-pair side info packed into one int32 array")
     ap.add_argument("--no_serve", action="store_true",
                     help="skip the continuous-batching serve measurement")
+    ap.add_argument("--no_fuse", action="store_true",
+                    help="disable fused qkv/gate_up projection artifacts "
+                         "(e2e-measured ~20 us/layer win, probe_e2e_tiles.py)")
     ap.add_argument("--no_kernel_roofline", action="store_true",
                     help="skip the per-shape kernel roofline measurement")
     ap.add_argument("--model", default="7b", choices=["7b", "13b"],
@@ -342,10 +345,19 @@ def main():
                 total += kin * kout * 2                        # bf16
         return total
 
-    from iron_weight_only_quant_tpu.models.llama import stack_llama_layers
+    from iron_weight_only_quant_tpu.models.llama import (
+        fuse_llama_projections,
+        stack_llama_layers,
+    )
 
     def prep(p):
-        return stack_llama_layers(p) if args.scan else p
+        if args.scan:
+            return stack_llama_layers(p)  # stacked views take unfused layers
+        # fused qkv / gate_up packed artifacts (exact column concat): fewer
+        # kernel launches and deeper N grids; e2e-measured ~20 us/layer
+        # faster at decode (scripts/probe_e2e_tiles.py -- the round-1
+        # "fusion is neutral" reading was a single-run contention artifact)
+        return p if args.no_fuse else fuse_llama_projections(p)
 
     # headline: full-depth W4 decode throughput
     params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
