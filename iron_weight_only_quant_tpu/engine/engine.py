@@ -193,6 +193,14 @@ class InferenceEngine:
 
                 self.forward = forward_wrap
         else:
+            if engine_cfg.fuse_projections and family in (None, "llama"):
+                # exact fused qkv / gate_up artifacts (column-wise concat of
+                # per-group quantized tensors); ~20 us/layer decode win on
+                # v5e (scripts/probe_e2e_tiles.py).  Sharded paths keep the
+                # unfused layout (TP specs name the individual projections).
+                from ..models.llama import fuse_llama_projections
+
+                params = fuse_llama_projections(params)
             self.params = params
 
     # ----------------------------------------------------------- internals

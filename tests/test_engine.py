@@ -223,6 +223,24 @@ class TestQuantizedModelEngine:
         out = eng.generate([[1, 7, 3, 9]], max_new_tokens=4)[0]
         assert len(out) == 4
 
+    def test_fused_projection_engine_matches_unfused(self, tiny_model):
+        """EngineConfig.fuse_projections is an exact serving transform."""
+        cfg, params = tiny_model
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=4, group_size=32, symmetric=False)
+        )
+        prompts = [[1, 7, 3, 9], [5, 2]]
+        base = _engine(cfg, qp).generate(prompts, max_new_tokens=5)
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64), max_batch_size=4,
+                            fuse_projections=True)
+        eng_f = InferenceEngine(qp, cfg, llama_forward, family="llama",
+                                engine_cfg=ecfg)
+        fused = eng_f.generate(prompts, max_new_tokens=5)
+        assert fused == base
+        # the transform really fused (qkv present, q gone)
+        assert "qkv" in eng_f.params["layers"][0]
+        assert "q" not in eng_f.params["layers"][0]
+
 
 class TestShardedEngine:
     def test_tp_dp_matches_single_device(self, tiny_model):
