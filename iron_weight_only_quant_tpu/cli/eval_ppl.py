@@ -33,6 +33,9 @@ def main(argv=None):
                     help="max chunks per dataset (None = all)")
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--output", default=None, help="results JSON path")
+    ap.add_argument("--no_fuse", action="store_true",
+                    help="disable fused qkv/gate_up packed artifacts during "
+                         "evaluation (exact transform; faster on TPU)")
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -65,6 +68,14 @@ def main(argv=None):
                 from ..quantize.model_pass import quantize_model_params
 
                 qparams, _ = quantize_model_params(params, spec)
+
+        if family == "llama" and not args.no_fuse:
+            # column-exact concat of packed projections (no-op on dense w16
+            # params); fewer kernel launches per block on TPU.  Wider
+            # matmuls can reorder f32 accumulation at ulp level (~1e-7 PPL)
+            from ..models.llama import fuse_llama_projections
+
+            qparams = fuse_llama_projections(qparams)
 
         ev = SequentialPPLEvaluator(
             qparams, fwd, cfg, model_path=args.model_path or "",
