@@ -84,7 +84,14 @@ def main(argv=None):
         entry = {"quant_args": {"w_bit": w_bit, "format": args.w_format,
                                 "group_size": args.w_group_size,
                                 "symmetric": args.w_symmetric,
-                                "gptq": args.gptq},
+                                "gptq": args.gptq,
+                                # fused projections reorder f32 accumulation at
+                                # ulp level; reference-parity tables (per-
+                                # projection matmuls, as the reference runs)
+                                # should use --no_fuse -- recorded here so
+                                # published numbers carry their provenance
+                                "fused_projections": family == "llama"
+                                and not args.no_fuse},
                  "datasets": {}}
         for ds in args.datasets:
             t0 = time.time()

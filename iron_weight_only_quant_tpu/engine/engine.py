@@ -193,7 +193,10 @@ class InferenceEngine:
 
                 self.forward = forward_wrap
         else:
-            if engine_cfg.fuse_projections and family in (None, "llama"):
+            # llama only: the transform rewrites llama-shaped layer dicts
+            # (q/k/v -> qkv); other families' forwards don't know the fused
+            # keys, and family=None gives no shape guarantee
+            if engine_cfg.fuse_projections and family == "llama":
                 # exact fused qkv / gate_up artifacts (column-wise concat of
                 # per-group quantized tensors); ~20 us/layer decode win on
                 # v5e (scripts/probe_e2e_tiles.py).  Sharded paths keep the
@@ -442,7 +445,11 @@ class InferenceEngine:
             # ---- prefill wave: slots with unfed prompt tokens get them in
             # one [B, S] forward (right-padded; per-slot `valid` counts keep
             # other slots' cache state untouched).  S is a power-of-2 bucket
-            # so distinct compiled programs stay few.
+            # so distinct compiled programs stay few.  Decode-ready slots
+            # PIGGYBACK on the same wave (Orca iteration-level scheduling):
+            # their pending sampled token rides as a 1-valid-token "prompt
+            # chunk", so no slot ever stalls while another slot prefills --
+            # this was the 2.3x serve-vs-static-decode gap in BENCH_r02.
             remaining = np.array([
                 len(requests[slot_req[s]]) - slot_fed[s] if slot_req[s] >= 0
                 else 0
@@ -455,7 +462,14 @@ class InferenceEngine:
                     sbkt *= 2
                 toks_np = np.zeros((nslots, sbkt), np.int64)
                 valid_np = np.zeros(nslots, np.int64)
+                piggyback = np.zeros(nslots, bool)
                 for s in range(nslots):
+                    if slot_req[s] >= 0 and remaining[s] == 0:
+                        # decode-ready slot: advance one token in this wave
+                        toks_np[s, 0] = pending_tok[s]
+                        valid_np[s] = 1
+                        piggyback[s] = True
+                        continue
                     cnt = int(min(remaining[s], sbkt))
                     if cnt <= 0:
                         continue
@@ -484,11 +498,12 @@ class InferenceEngine:
                     if valid_np[s] <= 0:
                         continue
                     rid = slot_req[s]
-                    slot_fed[s] += valid_np[s]
                     slot_len[s] += valid_np[s]
-                    if slot_fed[s] < len(requests[rid]):
-                        continue  # long prompt: next wave feeds the rest
-                    tok = int(nxt_np[s])  # first generated token
+                    if not piggyback[s]:
+                        slot_fed[s] += valid_np[s]
+                        if slot_fed[s] < len(requests[rid]):
+                            continue  # long prompt: next wave feeds the rest
+                    tok = int(nxt_np[s])  # next generated token
                     results[rid].append(tok)
                     slot_gen[s] += 1
                     if tok == self.eos_token or slot_gen[s] >= max_new_tokens:

@@ -496,12 +496,17 @@ def _int8_kernel_packed(x_ref, qw_ref, sz_ref, o_ref, acc_ref,
                acc_ref, out_dtype, rs)
 
 
-def _plan_tiles3(n: int, k: int, rows: int, tm: int):
+def _plan_tiles3(n: int, k: int, rows: int, tm: int, stacked: bool = False):
     """(tn, tpb, rsa, rsb, g_target) for the s21 3-bit kernel.
 
     tpb tiles the MSB plane (K/8 rows); the 2-bit array tile is 2*tpb.  Same
     policy as _plan_tiles: largest tile under the VMEM knee with a >=4-deep
     grid.  Returns None when no feasible plan exists (caller falls back).
+
+    ``stacked``: the layer-stacked variant flattens [L, 3K/8, N] to 2-D and
+    folds the layer offset into BlockSpec row indices; the A view's layer
+    stride in (2*tpb)-row block units is 3*nk/2, so nk = (K/8)/tpb must be
+    EVEN for every layer to start block-aligned.
     """
     qb = k // 8
     g = k // rows if rows > 1 else None
@@ -514,8 +519,9 @@ def _plan_tiles3(n: int, k: int, rows: int, tm: int):
         cand = 128
         while cand <= qb:
             if qb % cand == 0 and 3 * cand * tn <= _TILE_BYTES_CAP:
-                if g is None or (g <= cand and cand % g == 0) or \
-                        (g > cand and g % cand == 0):
+                if (g is None or (g <= cand and cand % g == 0)
+                        or (g > cand and g % cand == 0)) and (
+                        not stacked or (qb // cand) % 2 == 0):
                     tpb = cand
             cand += 128
         if not tpb:
@@ -532,7 +538,8 @@ def _plan_tiles3(n: int, k: int, rows: int, tm: int):
     return tn, tpb, (2 * tpb) // g_target, tpb // g_target, g_target
 
 
-def _layout3_supported(qt: QuantizedTensor, rows: int) -> bool:
+def _layout3_supported(qt: QuantizedTensor, rows: int,
+                       stacked: bool = False) -> bool:
     k, n = qt.shape
     k = k + qt.k_pad
     n = n + qt.n_pad
@@ -543,7 +550,7 @@ def _layout3_supported(qt: QuantizedTensor, rows: int) -> bool:
         # slab boundaries (multiples of K/8) must be group-aligned
         if g < 32 or g > k // 8 or (k // 8) % g:
             return False
-    return _plan_tiles3(n, k, rows, 16) is not None
+    return _plan_tiles3(n, k, rows, 16, stacked=stacked) is not None
 
 
 def _storage_layout_bits(qt: QuantizedTensor) -> int:
@@ -579,13 +586,11 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
         return False
     bits = _storage_layout_bits(qt)
     if bits == 3:
-        # flat kernel only (stacked 3-bit falls back to the XLA path)
-        return (qt.qweight.ndim == 2 and qt.side_packed is None
-                and _layout3_supported(qt, rows))
+        return (qt.side_packed is None
+                and _layout3_supported(qt, rows,
+                                       stacked=qt.qweight.ndim == 3))
     if bits not in (4, 8):
         return False
-    if qt.mode == "lut" and qt.qweight.ndim != 2:
-        return False  # stacked lut kernels not implemented
     k, n = qt.shape
     k = k + qt.k_pad
     n = n + qt.n_pad
@@ -608,6 +613,13 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
 
 def kernel_supported(qt: QuantizedTensor) -> bool:
     return qt.qweight.ndim == 2 and _layout_supported(qt, qt.scales.shape[0])
+
+
+def a16_supported(qt: QuantizedTensor) -> bool:
+    """Whether the split-int8-plane A16 activation path exists for this
+    artifact's format (int4/int8 affine kernels only; LUT and 3-bit degrade
+    to full-precision activations with a warning)."""
+    return qt.mode != "lut" and _storage_layout_bits(qt) != 3
 
 
 def kernel_supported_stacked(qt: QuantizedTensor) -> bool:
@@ -757,49 +769,106 @@ def _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret,
     )
 
 
-def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret):
+def _int3_kernel_pfx(l_ref, *args, **kw):
+    del l_ref  # consumed by the index maps only
+    _int3_kernel(*args, **kw)
+
+
+def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
+               layer_idx=None):
     """pallas_call plumbing for the s21 3-bit kernel: the packed array is
     passed twice (A-rows view + B-rows view) and x twelve times (one slab
     per 2-bit field and per MSB bit) -- index maps select the slices, so
-    HBM still streams each byte exactly once."""
-    tn, tpb, rsa, rsb, g_target = _plan_tiles3(n, k, rows, tm)
+    HBM still streams each byte exactly once.
+
+    ``layer_idx`` switches to the layer-stacked (scalar-prefetch) variant:
+    qweight [L, 3K/8, N] flattens to 2-D and the layer offset folds into the
+    weight/side row indices (same scheme as the int4/int8 stacked kernels;
+    70B/80-layer scan serving keeps the fused 3-bit win, VERDICT r2 item 4).
+    """
+    stacked = layer_idx is not None
+    tn, tpb, rsa, rsb, g_target = _plan_tiles3(n, k, rows, tm,
+                                               stacked=stacked)
     tpa = 2 * tpb
     qb = k // 8
     nk = qb // tpb
-    scales = _normalize_side(qt.scales, k, n, g_target)
-    zeros = _normalize_side(qt.zeros, k, n, g_target)
-    srows = scales.shape[0]
+    axis = 1 if stacked else 0
+    scales = _normalize_side(qt.scales, k, n, g_target, axis=axis)
+    zeros = _normalize_side(qt.zeros, k, n, g_target, axis=axis)
+    srows = scales.shape[axis]
 
     grid = (m_pad // tm, n // tn, nk)
     common = _common_params(tm, tn, m_pad, n, k, 3 * qb, srows, out_dtype,
-                            interpret)
-    side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
-    kernel = functools.partial(_int3_kernel, rsa=rsa, rsb=rsb, nk=nk,
-                               out_dtype=out_dtype)
+                            interpret, index_prefix=1 if stacked else 0)
+    kernel = functools.partial(
+        _int3_kernel_pfx if stacked else _int3_kernel,
+        rsa=rsa, rsb=rsb, nk=nk, out_dtype=out_dtype)
+
+    if not stacked:
+        side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
+
+        def a_spec(j):
+            # x block row (in tpa units) for 2-bit field j: j*(K/4)/tpa + kk
+            return pl.BlockSpec((tm, tpa),
+                                lambda i, _j, kk, s=j * nk: (i, s + kk))
+
+        def b_spec(i_slab):
+            return pl.BlockSpec((tm, tpb),
+                                lambda i, _j, kk, s=i_slab * nk: (i, s + kk))
+
+        wa_spec = pl.BlockSpec((tpa, tn), lambda i, j, kk: (kk, j))
+        wb_spec = pl.BlockSpec((tpb, tn),
+                               lambda i, j, kk, s=(k // 4) // tpb: (s + kk, j))
+        in_specs = ([a_spec(j) for j in range(4)]
+                    + [b_spec(i) for i in range(8)]
+                    + [wa_spec, wb_spec, side_spec, side_spec])
+        operands = [x2] * 12 + [qt.qweight, qt.qweight, scales, zeros]
+        return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
+                              **common)(*operands)
+
+    # ---- stacked: flatten [L, 3K/8, N] -> [L*3K/8, N]; layer l's A rows
+    # start at block l*(3*nk/2) (tpa units, nk even by plan), its B rows at
+    # block l*3*nk + 2*nk (tpb units).  Side rows pad to a sublane multiple
+    # per layer, exactly like the int4/int8 stacked path.
+    qw2 = qt.qweight.reshape(-1, qt.qweight.shape[-1])
+    srows_p = _ceil_to(srows, 8)
+    if srows_p != srows:
+        pad = ((0, 0), (0, srows_p - srows), (0, 0))
+        scales = jnp.pad(scales, pad)
+        zeros = jnp.pad(zeros, pad)
+    scales2 = scales.reshape(-1, scales.shape[-1])
+    zeros2 = zeros.reshape(-1, zeros.shape[-1])
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    side_spec = pl.BlockSpec((srows_p, tn), lambda i, j, kk, l: (l[0], j))
 
     def a_spec(j):
-        # x block row (in tpa units) for 2-bit field j: j*(K/4)/tpa + kk
-        return pl.BlockSpec((tm, tpa), lambda i, _j, kk, s=j * nk: (i, s + kk))
+        return pl.BlockSpec((tm, tpa),
+                            lambda i, _j, kk, l, s=j * nk: (i, s + kk))
 
     def b_spec(i_slab):
         return pl.BlockSpec((tm, tpb),
-                            lambda i, _j, kk, s=i_slab * nk: (i, s + kk))
+                            lambda i, _j, kk, l, s=i_slab * nk: (i, s + kk))
 
-    in_specs = (
-        [a_spec(j) for j in range(4)]
-        + [b_spec(i) for i in range(8)]
-        + [
-            pl.BlockSpec((tpa, tn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((tpb, tn),
-                         lambda i, j, kk, s=(k // 4) // tpb: (s + kk, j)),
-            side_spec,
-            side_spec,
-        ]
+    wa_spec = pl.BlockSpec(
+        (tpa, tn), lambda i, j, kk, l, s=(3 * nk) // 2: (l[0] * s + kk, j))
+    wb_spec = pl.BlockSpec(
+        (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + 2 * nk + kk, j))
+    in_specs = ([a_spec(j) for j in range(4)]
+                + [b_spec(i) for i in range(8)]
+                + [wa_spec, wb_spec, side_spec, side_spec])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=common.pop("out_specs"),
+        scratch_shapes=common.pop("scratch_shapes"),
     )
-    operands = [x2] * 12 + [qt.qweight, qt.qweight, scales, zeros]
-    return pl.pallas_call(kernel, grid=grid, in_specs=in_specs, **common)(
-        *operands
-    )
+    # CostEstimate on a PrefetchScalarGridSpec kills DMA overlap (NOTES.md)
+    common.pop("cost_estimate", None)
+    operands = [x2] * 12 + [qw2, qw2, scales2, zeros2]
+    return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+        lidx, *operands)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
@@ -816,10 +885,19 @@ def fused_quantized_matmul(
     """
     bits = _storage_layout_bits(qt)
     lut = qt.mode == "lut"
-    if activation_bits == 16 and (lut or bits == 3):
+    if activation_bits == 16 and not a16_supported(qt):
         # the split-plane path exists for the int4/int8 kernels only; a16 is
         # an engine-wide serving default, so degrade to full-precision
-        # activations rather than crash on other formats
+        # activations rather than crash on other formats.  Surfaced (not
+        # silent): one trace-time warning per program.
+        import warnings
+
+        warnings.warn(
+            f"activation_bits=16 is unsupported for "
+            f"{'lut' if lut else 'affine'}/{bits}-bit artifacts; running this "
+            "matmul with full-precision activations",
+            stacklevel=2,
+        )
         activation_bits = None
     if lut and activation_bits is not None:
         raise NotImplementedError("int8 activations with LUT artifacts")
@@ -985,6 +1063,16 @@ def _int8_kernel_a16_pfx(l_ref, *args, **kw):
     _int8_kernel_a16(*args, **kw)
 
 
+def _lut4_kernel_pfx(l_ref, *args, **kw):
+    del l_ref
+    _lut4_kernel(*args, **kw)
+
+
+def _lut8_kernel_pfx(l_ref, *args, **kw):
+    del l_ref
+    _lut8_kernel(*args, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
 def fused_quantized_matmul_stacked(
     x: jnp.ndarray, qt: QuantizedTensor, layer_idx: jnp.ndarray,
@@ -1006,7 +1094,20 @@ def fused_quantized_matmul_stacked(
     layer offset is folded into the *row* index map -- 3-D blocks with a
     leading singleton layer dim measured ~35% slower DMA streams on v5e.
     """
-    bits = qt.spec.storage_bits
+    bits = _storage_layout_bits(qt)
+    lut = qt.mode == "lut"
+    if activation_bits == 16 and not a16_supported(qt):
+        import warnings
+
+        warnings.warn(
+            f"activation_bits=16 is unsupported for "
+            f"{'lut' if lut else 'affine'}/{bits}-bit artifacts; running this "
+            "matmul with full-precision activations",
+            stacklevel=2,
+        )
+        activation_bits = None
+    if lut and activation_bits is not None:
+        raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
@@ -1015,12 +1116,18 @@ def fused_quantized_matmul_stacked(
         k = k + qt.k_pad
 
     rows = qt.scales.shape[1]
+    if bits == 3:
+        out = _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
+                         layer_idx=layer_idx)
+        return _finish(out, x, qt, m, m_pad, out_scale)
     kp = k // 2 if bits == 4 else k
     tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
                                         slabs=2 if bits == 4 else 1)
     nk = kp // tpk
     scales = _normalize_side(qt.scales, k, n, g_target, axis=1)
-    zeros = _normalize_side(qt.zeros, k, n, g_target, axis=1)
+    has_z = qt.zeros is not None
+    zeros = _normalize_side(qt.zeros if has_z else qt.scales, k, n, g_target,
+                            axis=1)
     srows = scales.shape[1]
 
     # layers fold into rows: block row l*nk + kk of the flattened array is
@@ -1048,7 +1155,21 @@ def fused_quantized_matmul_stacked(
                             lambda i, j, kk, l, _nk=nk: (i, _nk + kk))
     wspec = pl.BlockSpec((tpk, tn),
                          lambda i, j, kk, l, _nk=nk: (l[0] * _nk + kk, j))
-    if bits == 4:
+    if lut:
+        fmt = qt.spec.float_format
+        if bits == 4:
+            kernel = functools.partial(
+                _lut4_kernel_pfx, rs=rs, nk=nk, out_dtype=out_dtype,
+                exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+            in_specs = [xspec_lo, xspec_hi, wspec, side_spec, side_spec]
+            operands = (x2, x2, qw2, scales2, zeros2)
+        else:
+            kernel = functools.partial(
+                _lut8_kernel_pfx, rs=rs, out_dtype=out_dtype,
+                exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+            in_specs = [xspec_lo, wspec, side_spec, side_spec]
+            operands = (x2, qw2, scales2, zeros2)
+    elif bits == 4:
         if activation_bits == 16:
             xa, xb = x2
             kernel = functools.partial(_int4_kernel_a16_pfx, rs=rs, nk=nk,

@@ -118,6 +118,8 @@ def concat_n(qts) -> "QuantizedTensor":
     N padding; the fused tensor treats stored columns as logical (n_pad=0)
     and callers slice member outputs by :func:`stored_spans`.
     """
+    import numpy as np
+
     first = qts[0]
     for qt in qts[1:]:
         if (qt.spec != first.spec or qt.mode != first.mode
@@ -127,6 +129,15 @@ def concat_n(qts) -> "QuantizedTensor":
                 or (qt.zeros is None) != (first.zeros is None)
                 or (qt.side_packed is None) != (first.side_packed is None)):
             raise ValueError("concat_n: incompatible artifacts")
+        # spec equality implies equal codebooks today, but guard anyway: two
+        # LUT members with different codebooks would silently dequantize the
+        # later members' columns through the first member's table
+        if (qt.codebook is None) != (first.codebook is None) or (
+            first.codebook is not None
+            and not np.array_equal(np.asarray(qt.codebook),
+                                   np.asarray(first.codebook))
+        ):
+            raise ValueError("concat_n: incompatible codebooks")
     total_n = sum(qt.shape[1] + qt.n_pad for qt in qts)
     return QuantizedTensor(
         jnp.concatenate([qt.qweight for qt in qts], axis=-1),

@@ -183,9 +183,20 @@ def test_a16_stacked_and_fallbacks(weight):
     qt_lut = quantize_tensor(jnp.asarray(
         rng.normal(size=(512, 256)).astype(np.float32) * 0.05), fp4)
     if qt_lut.mode == "lut" and kernel_supported(qt_lut):
+        import warnings
+
+        from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+            a16_supported,
+        )
+
+        assert not a16_supported(qt_lut)
         x2 = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
-        y_lut = np.asarray(fused_quantized_matmul(
-            x2, qt_lut, interpret=True, activation_bits=16))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            y_lut = np.asarray(fused_quantized_matmul(
+                x2, qt_lut, interpret=True, activation_bits=16))
+        # the degradation is surfaced, not silent (one trace-time warning)
+        assert any("activation_bits=16" in str(w.message) for w in caught)
         y_lut_ref = np.asarray(x2 @ dequantize_weight(qt_lut))
         rel = np.linalg.norm(y_lut - y_lut_ref) / np.linalg.norm(y_lut_ref)
         assert rel < 1e-3, rel
@@ -303,6 +314,37 @@ class TestInt3Kernel:
             np.linalg.norm(np.asarray(y_ref))
         assert rel < 0.02  # int8 activation quant error only
 
+    def test_stacked_int3_selects_layer(self):
+        """Layer-stacked s21 3-bit kernel (scan path, VERDICT r2 item 4):
+        the 70B/80-layer serving story keeps the fused 3-bit win.  K=2048
+        gives nk=2 (even), the stacked plan's alignment requirement."""
+        rng = np.random.default_rng(20)
+        spec = QuantSpec(fmt="int", bits=3, group_size=128, symmetric=False)
+        qts = [quantize_tensor(
+            jnp.asarray(rng.normal(size=(2048, 256)).astype(np.float32) * 0.05),
+            spec) for _ in range(3)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        assert kernel_supported_stacked(stacked)
+        x = jnp.asarray(rng.normal(size=(4, 2048)).astype(np.float32))
+        for l in (0, 2):
+            y_ref = x @ dequantize_weight(qts[l])
+            y = fused_quantized_matmul_stacked(x, stacked, l, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=2e-5, atol=2e-4)
+
+    def test_stacked_int3_odd_nk_falls_back(self):
+        """K=1024 -> qb=128, tpb=128, nk=1 (odd): the stacked plan must
+        reject it (layer A-offsets land off block boundaries) while the flat
+        kernel still supports the same artifact."""
+        rng = np.random.default_rng(22)
+        spec = QuantSpec(fmt="int", bits=3, group_size=128, symmetric=False)
+        qt = quantize_tensor(
+            jnp.asarray(rng.normal(size=(1024, 256)).astype(np.float32) * 0.05),
+            spec)
+        assert kernel_supported(qt)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), qt, qt)
+        assert not kernel_supported_stacked(stacked)
+
     def test_misaligned_group_rejected(self):
         # K/8 = 137.6 groups... K=1088: K/8=136, g=128 does not divide -> XLA
         rng = np.random.default_rng(10)
@@ -350,6 +392,28 @@ class TestLutKernel:
         assert y.shape == (m, 256)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-4)
+
+    @pytest.mark.parametrize(
+        "spec",
+        [LUT_SPECS[0], LUT_SPECS[2], LUT_SPECS[4]],
+        ids=("fp4e2m1", "fp6e3m2", "fp8e4m3"),
+    )
+    def test_lut_stacked_selects_layer(self, spec):
+        """Layer-stacked LUT kernels (scan path) match the XLA reference per
+        layer (VERDICT r2 item 4: fp4/fp6/fp8 artifacts serve fused under
+        scan at 70B depth)."""
+        rng = np.random.default_rng(21)
+        qts = [quantize_tensor(
+            jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32) * 0.05),
+            spec) for _ in range(2)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        assert kernel_supported_stacked(stacked)
+        x = jnp.asarray(rng.normal(size=(4, 512)).astype(np.float32))
+        for l in (0, 1):
+            y_ref = x @ dequantize_weight(qts[l])
+            y = fused_quantized_matmul_stacked(x, stacked, l, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=2e-5, atol=2e-4)
 
     def test_lut_approximate_falls_back(self, weight):
         # aligned (approximate) codebooks are not IEEE bit-constructible
