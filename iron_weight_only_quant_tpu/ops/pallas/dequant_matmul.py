@@ -371,6 +371,56 @@ def _int3_kernel(*refs, rsa: int, rsb: int, nk: int, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _plan_tiles6(n: int, k: int, rows: int, tm: int):
+    """(tn, tpb, rs, g_target) for the nq42 fp6 LUT kernel.
+
+    Per grid step the kernel streams two nibble tiles + one quad tile, each
+    [tpb, tn] (6 bits/code, vs 8 for the old byte-per-code fp6 storage).
+    Same tile policy as _plan_tiles3; tpb tiles the quad array (K/4 rows).
+    Layer stacking needs no extra alignment: every block is tpb-sized, so
+    the per-layer stride (3*nk blocks) is always integral.
+    """
+    qb = k // 4
+    g = k // rows if rows > 1 else None
+    best = None
+    for tn in (2048, 1024, 512, 256, 128):
+        if n % tn != 0:
+            continue
+        tpb = 0
+        cand = 128
+        while cand <= qb:
+            if qb % cand == 0 and 3 * cand * tn <= _TILE_BYTES_CAP:
+                if g is None or (g <= cand and cand % g == 0) or \
+                        (g > cand and g % cand == 0):
+                    tpb = cand
+            cand += 128
+        if not tpb:
+            continue
+        steps = (n // tn) * (qb // tpb)
+        score = (1 if steps >= 4 else 0, 3 * tpb * tn, tn)
+        if best is None or score > best[0]:
+            best = (score, tn, tpb)
+    if best is None:
+        return None
+    _, tn, tpb = best
+    g_target = tpb if g is None else min(g, tpb)
+    return tn, tpb, tpb // g_target, g_target
+
+
+def _layout6_supported(qt: QuantizedTensor, rows: int) -> bool:
+    k, n = qt.shape
+    k = k + qt.k_pad
+    n = n + qt.n_pad
+    if k % 4 or (k // 4) % 128:
+        return False
+    if rows > 1:
+        g = k // rows
+        # quarter-slab boundaries (multiples of K/4) must be group-aligned
+        if g < 32 or g > k // 4 or (k // 4) % g:
+            return False
+    return _plan_tiles6(n, k, rows, 16) is not None
+
+
 def _minifloat_decode(codes_i32, exp_bits: int, mant_bits: int, dtype):
     """Exact minifloat decode by f32 bit assembly (formats/minifloat.py
     code_to_float semantics, incl. subnormals).
@@ -465,6 +515,146 @@ def _lut8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _lut6_kernel(x0_ref, x1_ref, x2_ref, x3_ref, qa0_ref, qa1_ref, qb_ref,
+                 s_ref, z_ref, o_ref, acc_ref, *, rs: int, nk: int,
+                 out_dtype, exp_bits: int, mant_bits: int, has_z: bool):
+    """Fused fp6 (nq42 sub-byte) dequant-matmul: 6-bit codes assembled from
+    the nibble tile (low 4 bits, int4-style MSB-flip pairing) and the quad
+    tile (high 2 bits, widened to i32 before the shift -- the v5e VPU has no
+    8-bit shifts, but i8->i32 converts and 32-bit shifts are native), then
+    exact minifloat decode -> MXU.  Streams 6 bits/code vs the old
+    byte-per-code fp6 storage's 8 (VERDICT r2 item 8).
+
+    Quarter j of the K range takes its x slab x{j}_ref, its low nibbles from
+    qa0 (j=0,2) or qa1 (j=1,3) at the nibble position j//2, and its high
+    2 bits from quad field j.
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a0, a1 = qa0_ref[:], qa1_ref[:]
+    b_i32 = jax.lax.bitcast_convert_type(qb_ref[:], jnp.int8).astype(jnp.int32)
+    g = qb_ref.shape[0] // rs
+    xs = (x0_ref, x1_ref, x2_ref, x3_ref)
+    dtype = x0_ref.dtype
+
+    def lo_nib(a):
+        return (a & 0xF).astype(jnp.int32)
+
+    def hi_nib(a):
+        ai8 = jax.lax.bitcast_convert_type(a, jnp.int8)
+        # stored flipped: i8(byte & 0xF0) == 16*nib - 128
+        return ((ai8 & jnp.int8(-16)).astype(jnp.int32) + 128) >> 4
+
+    lows = (lo_nib(a0), lo_nib(a1), hi_nib(a0), hi_nib(a1))
+    acc = acc_ref[:]
+    for j in range(4):
+        # (x - 256) >> s has the same low bits as x >> s for s <= 6, so the
+        # sign extension of the i8 view never corrupts the 2-bit field
+        hi = (b_i32 >> (2 * j)) & 3
+        vals = _minifloat_decode(lows[j] | (hi << 4), exp_bits, mant_bits,
+                                 dtype)
+        acc = _lut_accum(acc, xs[j][:], vals,
+                         _flat_sz(s_ref, z_ref, (j * nk + kk) * rs),
+                         rs, g, has_z)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _lut6_kernel_pfx(l_ref, *args, **kw):
+    del l_ref
+    _lut6_kernel(*args, **kw)
+
+
+def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
+               layer_idx=None):
+    """pallas_call plumbing for the nq42 fp6 kernel: the packed array is
+    passed three times (two nibble-row views + the quad-row view) and x four
+    times (one slab per K quarter); index maps select the slices, so HBM
+    still streams each byte exactly once.  ``layer_idx`` switches to the
+    layer-stacked scalar-prefetch variant."""
+    stacked = layer_idx is not None
+    tn, tpb, rs, g_target = _plan_tiles6(n, k, rows, tm)
+    qb = k // 4
+    nk = qb // tpb
+    axis = 1 if stacked else 0
+    scales = _normalize_side(qt.scales, k, n, g_target, axis=axis)
+    has_z = qt.zeros is not None
+    zeros = _normalize_side(qt.zeros if has_z else qt.scales, k, n, g_target,
+                            axis=axis)
+    srows = scales.shape[axis]
+    fmt = qt.spec.float_format
+
+    grid = (m_pad // tm, n // tn, nk)
+    common = _common_params(tm, tn, m_pad, n, k, 3 * qb, srows, out_dtype,
+                            interpret, index_prefix=1 if stacked else 0)
+    kernel = functools.partial(
+        _lut6_kernel_pfx if stacked else _lut6_kernel,
+        rs=rs, nk=nk, out_dtype=out_dtype,
+        exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+
+    if not stacked:
+        side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
+
+        def x_spec(j):
+            return pl.BlockSpec((tm, tpb),
+                                lambda i, _j, kk, s=j * nk: (i, s + kk))
+
+        a0_spec = pl.BlockSpec((tpb, tn), lambda i, j, kk: (kk, j))
+        a1_spec = pl.BlockSpec((tpb, tn), lambda i, j, kk, s=nk: (s + kk, j))
+        b_spec = pl.BlockSpec((tpb, tn),
+                              lambda i, j, kk, s=2 * nk: (s + kk, j))
+        in_specs = ([x_spec(j) for j in range(4)]
+                    + [a0_spec, a1_spec, b_spec, side_spec, side_spec])
+        operands = [x2] * 4 + [qt.qweight] * 3 + [scales, zeros]
+        return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
+                              **common)(*operands)
+
+    # stacked: flatten [L, 3K/4, N] -> 2-D; every block is tpb-sized so the
+    # per-layer stride is 3*nk blocks, always integral
+    qw2 = qt.qweight.reshape(-1, qt.qweight.shape[-1])
+    srows_p = _ceil_to(srows, 8)
+    if srows_p != srows:
+        pad = ((0, 0), (0, srows_p - srows), (0, 0))
+        scales = jnp.pad(scales, pad)
+        zeros = jnp.pad(zeros, pad)
+    scales2 = scales.reshape(-1, scales.shape[-1])
+    zeros2 = zeros.reshape(-1, zeros.shape[-1])
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    side_spec = pl.BlockSpec((srows_p, tn), lambda i, j, kk, l: (l[0], j))
+
+    def x_spec(j):
+        return pl.BlockSpec((tm, tpb),
+                            lambda i, _j, kk, l, s=j * nk: (i, s + kk))
+
+    a0_spec = pl.BlockSpec(
+        (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + kk, j))
+    a1_spec = pl.BlockSpec(
+        (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + nk + kk, j))
+    b_spec = pl.BlockSpec(
+        (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + 2 * nk + kk, j))
+    in_specs = ([x_spec(j) for j in range(4)]
+                + [a0_spec, a1_spec, b_spec, side_spec, side_spec])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=common.pop("out_specs"),
+        scratch_shapes=common.pop("scratch_shapes"),
+    )
+    common.pop("cost_estimate", None)
+    operands = [x2] * 4 + [qw2] * 3 + [scales2, zeros2]
+    return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+        lidx, *operands)
+
+
 def _int8_body(x_ref, qw_ref, sz, o_ref, acc_ref, out_dtype, rs):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -555,11 +745,12 @@ def _layout3_supported(qt: QuantizedTensor, rows: int,
 
 def _storage_layout_bits(qt: QuantizedTensor) -> int:
     """Packed storage width (codes/byte layout), distinct from logical bits:
-    lut-mode fp6 codes are stored one per byte."""
-    b = qt.spec.storage_bits
+    lut-mode fp6 packs 6 bits/code via the nq42 (nibble+quad) split."""
     if qt.mode == "lut":
-        return b if b in (2, 4) else 8
-    return b
+        from ..qmatmul import packed_bits
+
+        return packed_bits(qt)
+    return qt.spec.storage_bits
 
 
 def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
@@ -589,6 +780,8 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
         return (qt.side_packed is None
                 and _layout3_supported(qt, rows,
                                        stacked=qt.qweight.ndim == 3))
+    if bits == 6:
+        return qt.side_packed is None and _layout6_supported(qt, rows)
     if bits not in (4, 8):
         return False
     k, n = qt.shape
@@ -934,6 +1127,9 @@ def fused_quantized_matmul(
     if bits == 3:
         out = _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret)
         return _finish(out, x, qt, m, m_pad, out_scale)
+    if bits == 6:
+        out = _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret)
+        return _finish(out, x, qt, m, m_pad, out_scale)
     kp = k // 2 if bits == 4 else k
     tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
                                         slabs=2 if bits == 4 else 1)
@@ -1118,6 +1314,10 @@ def fused_quantized_matmul_stacked(
     rows = qt.scales.shape[1]
     if bits == 3:
         out = _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
+                         layer_idx=layer_idx)
+        return _finish(out, x, qt, m, m_pad, out_scale)
+    if bits == 6:
+        out = _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
                          layer_idx=layer_idx)
         return _finish(out, x, qt, m, m_pad, out_scale)
     kp = k // 2 if bits == 4 else k

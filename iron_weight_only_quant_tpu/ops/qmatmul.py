@@ -21,6 +21,12 @@ from .packing import unpack_codes_sharded
 def packed_bits(qt: QuantizedTensor) -> int:
     b = qt.spec.storage_bits
     if qt.mode == "lut":  # codebook indexing needs plain unsigned sub-byte
+        if b == 6:
+            # nq42 sub-byte layout stores [3K/4, N] bytes; legacy byte-per-
+            # code fp6 artifacts (pre round 3) stored [K, N]
+            k_rows = qt.qweight.shape[-2]
+            per_shard = qt.k_stored // qt.k_shards
+            return 6 if k_rows * 4 == qt.k_stored * 3 and per_shard % 4 == 0 else 8
         return b if b in (2, 4) else 8
     return b if b in (2, 3, 4, 8) else 8
 

@@ -201,7 +201,9 @@ def quantize_tensor(
     zeros = (
         _kernel_layout(enc.zeros, k_stored, n_stored, spec.group_size) if enc.zeros is not None else None
     )
-    store_bits = fmt.total_bits if fmt.total_bits in (2, 4) else 8
+    store_bits = fmt.total_bits if fmt.total_bits in (2, 4, 6) else 8
+    if store_bits == 6 and (k_stored % 4 or (k_stored // k_shards) % 4):
+        store_bits = 8  # nq42 needs K divisible by 4 per shard
     if store_bits == 8:
         codes = codes - 128  # byte layout; dequant re-adds 128 before the LUT
     qweight = pack_codes_sharded(codes, store_bits, k_shards)

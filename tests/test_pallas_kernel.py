@@ -415,6 +415,16 @@ class TestLutKernel:
             np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                        rtol=2e-5, atol=2e-4)
 
+    def test_fp6_packs_six_bits_per_code(self, weight):
+        """fp6 streams 6 bits/code (nq42 nibble+quad split), not the 8 of
+        byte-per-code storage (VERDICT r2 item 8: <=6.1 bits/code)."""
+        qt = quantize_tensor(weight, self.LUT_SPECS[2])  # fp6 e3m2 g128
+        k, n = qt.shape
+        assert qt.qweight.shape == (3 * k // 4, n)
+        bits_per_code = qt.qweight.size * 8 / (k * n)
+        assert bits_per_code == 6.0
+        assert kernel_supported(qt)
+
     def test_lut_approximate_falls_back(self, weight):
         # aligned (approximate) codebooks are not IEEE bit-constructible
         from iron_weight_only_quant_tpu.config import FloatFormat

@@ -46,14 +46,15 @@ def weight():
 
 
 class TestPacking:
-    @pytest.mark.parametrize("bits", [2, 3, 4, 8])
+    @pytest.mark.parametrize("bits", [2, 3, 4, 6, 8])
     def test_roundtrip(self, rng, bits):
         k, n = 64, 16
         lo, hi = (-128, 128) if bits == 8 else (0, 2**bits)
         codes = jnp.asarray(rng.integers(lo, hi, size=(k, n)), dtype=jnp.int32)
         packed = pack_codes(codes, bits)
         assert packed.dtype == jnp.uint8
-        expected_rows = 3 * k // 8 if bits == 3 else k // (8 // bits)
+        expected_rows = {3: 3 * k // 8, 6: 3 * k // 4}.get(
+            bits, k // (8 // bits))
         assert packed.shape[0] == expected_rows
         back = unpack_codes(packed, bits, k)
         np.testing.assert_array_equal(np.asarray(codes), np.asarray(back))
