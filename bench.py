@@ -83,14 +83,15 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
     }
 
 
-def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
-                         scan_layers=False):
-    """Slope-timed per-step decode latency via jitted scan over steps.
+def decode_runner_pair(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
+                       scan_layers=False):
+    """(run_lo, run_once_lo-style callables) for slope-timed decode.
 
-    ``scan_layers=True`` uses the scan-over-layers forward with
-    scalar-prefetch stacked kernels (weights stay put in HBM; see
-    ops/pallas/dequant_matmul.py): depth-independent compile time at ~1.35x
-    the unrolled per-step latency (9.6 vs 7.1 ms on the 7B, NOTES.md).
+    Returns two zero-arg callables (already compiled) that run the jitted
+    prefill + ``t_lo``/``t_hi``-step decode scan and block on the result.
+    An eager prefill costs ~30 s of per-op tunnel dispatch with multi-second
+    variance, drowning the step-count slope entirely -- hence one fully
+    jitted program per length.
     """
     import jax
     import jax.numpy as jnp
@@ -103,9 +104,6 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     fwd = llama_forward_scan if scan_layers else llama_forward
 
     def make_runner(steps):
-        # one fully-jitted program: prefill + decode scan.  An eager prefill
-        # costs ~30 s of per-op tunnel dispatch with multi-second variance,
-        # drowning the step-count slope entirely.
         @jax.jit
         def run(params, prompt):
             mk = make_stacked_caches if scan_layers else make_caches
@@ -123,31 +121,54 @@ def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
             (tok, caches), toks = jax.lax.scan(step, (tok0, caches), None, length=steps)
             return toks
 
-        return run
+        def run_once():
+            prompt = jnp.ones((batch, 8), jnp.int32)
+            return float(jnp.sum(run(params, prompt)))  # block via host fetch
 
-    def run_once(runner):
-        prompt = jnp.ones((batch, 8), jnp.int32)
-        out = runner(params, prompt)
-        return float(jnp.sum(out))  # force completion through the tunnel
+        return run_once
 
     lo, hi = make_runner(t_lo), make_runner(t_hi)
-    run_once(lo)  # compile
-    run_once(hi)
-    # the chip is SHARED: another tenant's load inflates timings by 30%+ for
-    # minutes at a time (scripts/probe_w4_inner.py ablation history), and
-    # contention only ever ADDS time.  So interleave lo/hi measurements and
-    # slope the per-length MINIMA; escalate repetitions if jitter still wins.
-    ts_lo = ts_hi = float("inf")
-    for reps in (5, 5, 8):
+    lo()  # compile
+    hi()
+    return lo, hi
+
+
+def interleaved_decode_slopes(pairs, t_lo=12, t_hi=36, rounds=(5, 5, 8)):
+    """Slope per pair, interleaving EVERY pair's lo/hi runs in each round.
+
+    The chip is SHARED: another tenant's load inflates timings by 30%+ for
+    minutes at a time, and contention only ever ADDS time -- so all
+    variants must sample the same windows and keep per-variant minima
+    (NOTES.md methodology).  BENCH_r03's predecessor measured the
+    full-depth and ratio models in separate windows and got a nonsense
+    per-layer/fixed decomposition from the drift.
+    """
+    ts = {name: [float("inf"), float("inf")] for name in pairs}
+    for reps in rounds:
         for _ in range(reps):
-            ts_lo = min(ts_lo, _timed(run_once, lo))
-            ts_hi = min(ts_hi, _timed(run_once, hi))
-        slope = (ts_hi - ts_lo) / (t_hi - t_lo)
-        if slope > 0:
-            return slope
-    print(f"warning: non-positive timing slope ({slope:.2e}); "
-          "falling back to total/steps upper bound", file=sys.stderr)
-    return ts_hi / t_hi
+            for name, (lo, hi) in pairs.items():
+                ts[name][0] = min(ts[name][0], _timed(lo))
+                ts[name][1] = min(ts[name][1], _timed(hi))
+        slopes = {
+            name: (t[1] - t[0]) / (t_hi - t_lo) for name, t in ts.items()
+        }
+        if all(s > 0 for s in slopes.values()):
+            return slopes
+    for name, s in slopes.items():
+        if s <= 0:
+            print(f"warning: non-positive timing slope for {name}; "
+                  "falling back to total/steps upper bound", file=sys.stderr)
+            slopes[name] = ts[name][1] / t_hi
+    return slopes
+
+
+def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
+                         scan_layers=False):
+    """Slope-timed per-step decode latency (single-model convenience;
+    probe scripts' entry point).  See decode_runner_pair/interleaved_decode_slopes."""
+    pair = decode_runner_pair(cfg, params, batch, t_lo, t_hi, max_len,
+                              scan_layers)
+    return interleaved_decode_slopes({"m": pair}, t_lo, t_hi)["m"]
 
 
 def _timed(f, *a):
@@ -156,30 +177,29 @@ def _timed(f, *a):
     return time.perf_counter() - t0
 
 
-def _slope_timeit(fns, x, fold="first", iters=(100, 400), reps=3):
+def _slope_timeit(fn, x, operands, fold="first", iters=(100, 400), reps=3):
     """Chained-fori slope timing (scripts/tpu_smoke.py methodology): the op
     runs ``iters`` times with its output folded back into the input, timed at
     two lengths; per-op time is the slope.  Survives the axon tunnel's ~25 ms
     fixed dispatch cost and its non-blocking block_until_ready.
 
-    ``fns`` is a LIST of variants rotated round-robin per iteration
-    (lax.switch) — pass several closures over *distinct* weight buffers to
-    keep the measurement HBM-resident (a loop-invariant weight pins in the
-    v5e's 128 MB VMEM and "streams" >1.3 TB/s, NOTES.md).  On a non-positive
+    ``fn(xc, operands, i)`` applies iteration ``i``'s variant — rotate
+    several *distinct* weight buffers (lax.switch over ``operands``, which
+    ride as jit ARGUMENTS: closure constants would be embedded into the
+    remote-compile payload and blow the tunnel's request limit) to keep the
+    measurement HBM-resident (a loop-invariant weight pins in the v5e's
+    128 MB VMEM and "streams" >1.3 TB/s, NOTES.md).  On a non-positive
     slope the loop lengths escalate; returns ``None`` if still unresolvable
     (never a clamped nonsense rate).
     """
     import jax
     import jax.numpy as jnp
 
-    nv = len(fns)
-
     def make(n):
         @jax.jit
-        def loop(x):
+        def loop(x, operands):
             def body(i, xc):
-                y = (fns[0](xc) if nv == 1
-                     else jax.lax.switch(i % nv, fns, xc))
+                y = fn(xc, operands, i)
                 lane = (jnp.sum(y.astype(jnp.float32)) if fold == "sum"
                         else y.reshape(-1)[0].astype(jnp.float32))
                 return (xc + lane).astype(xc.dtype)
@@ -193,11 +213,11 @@ def _slope_timeit(fns, x, fold="first", iters=(100, 400), reps=3):
         lo, hi = make(lo_n), make(hi_n)
 
         def run(loop):
-            float(jnp.sum(loop(x).astype(jnp.float32)))  # warm/compile
+            float(jnp.sum(loop(x, operands).astype(jnp.float32)))  # warm
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(jnp.sum(loop(x).astype(jnp.float32)))
+                float(jnp.sum(loop(x, operands).astype(jnp.float32)))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
@@ -257,14 +277,24 @@ def kernel_roofline(spec, rounds=4, hbm_floor_bytes=192 * 2**20):
         qbytes = qb_one + x.size * 2 + m * n * 2
         dbytes = db_one + x.size * 2 + m * n * 2
 
-        f_qs = [functools.partial(
-            lambda xx, q: fused_quantized_matmul(xx, q), q=q) for q in qts]
-        f_ds = [functools.partial(
-            lambda xx, wref: jnp.dot(xx, wref), wref=w) for w in wds]
+        def f_q(xx, ops, i):
+            return jax.lax.switch(
+                i % len(ops),
+                [(lambda x2, q=q: fused_quantized_matmul(x2, q)) for q in ops],
+                xx,
+            )
+
+        def f_d(xx, ops, i):
+            return jax.lax.switch(
+                i % len(ops),
+                [(lambda x2, w=w: jnp.dot(x2, w)) for w in ops],
+                xx,
+            )
+
         t_q = t_d = float("inf")
         for _ in range(rounds):
-            tq = _slope_timeit(f_qs, x)
-            td = _slope_timeit(f_ds, x, fold="sum")
+            tq = _slope_timeit(f_q, x, tuple(qts))
+            td = _slope_timeit(f_d, x, tuple(wds), fold="sum")
             t_q = min(t_q, tq if tq else float("inf"))
             t_d = min(t_d, td if td else float("inf"))
         entry = {"n_weight_buffers": [n_q, n_d]}
@@ -422,31 +452,39 @@ def main():
         # "fusion is neutral" reading was a single-run contention artifact)
         return p if args.no_fuse else fuse_llama_projections(p)
 
-    # headline: full-depth W4 decode throughput
+    # headline: full-depth W4 decode + reduced-depth W4/bf16 twins (bf16
+    # full 7B does not fit HBM alongside scratch through this tunnel
+    # reliably), ALL interleaved in the same timing windows -- separate
+    # windows on the shared chip gave drift-corrupted per-layer/fixed
+    # decompositions (the r3 first-cut bench measured "fixed = 96 us" when
+    # the lm_head alone is ~400 us)
+    import dataclasses
+    cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
     params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
                                        quantize_lm_head=args.qhead,
                                        packed_sides=args.packed_sides))
-    t_step = decode_time_per_step(cfg, params_w4, batch, scan_layers=args.scan)
+    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
+                                  quantize_lm_head=args.qhead,
+                                  packed_sides=args.packed_sides))
+    p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
+    pairs = {
+        "full": decode_runner_pair(cfg, params_w4, batch,
+                                   scan_layers=args.scan),
+        "sub_w4": decode_runner_pair(cfg_r, p_w4, batch,
+                                     scan_layers=args.scan),
+        "sub_bf16": decode_runner_pair(cfg_r, p_bf16, batch,
+                                       scan_layers=args.scan),
+    }
+    slopes = interleaved_decode_slopes(pairs)
+    t_step, t_w4, t_bf16 = slopes["full"], slopes["sub_w4"], slopes["sub_bf16"]
+    del p_w4, p_bf16, pairs
     toks_per_s = batch / t_step
+    speedup = t_bf16 / t_w4
 
     serve_stats = None
     if not args.no_serve and not args.scan and not args.small:
         serve_stats = serve_throughput(cfg, params_w4, batch)
     del params_w4
-
-    # speedup ratio on a reduced-depth twin (bf16 full 7B does not fit HBM
-    # alongside scratch through this tunnel reliably)
-    import dataclasses
-    cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
-    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
-                                  quantize_lm_head=args.qhead,
-                                  packed_sides=args.packed_sides))
-    t_w4 = decode_time_per_step(cfg_r, p_w4, batch, scan_layers=args.scan)
-    del p_w4
-    p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
-    t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch, scan_layers=args.scan)
-    del p_bf16
-    speedup = t_bf16 / t_w4
 
     # roofline accounting (BASELINE.md: >=80% of roofline on every chip):
     # slope the two W4 depths for per-layer/fixed split, then compare the
@@ -465,7 +503,11 @@ def main():
 
     kroof = None
     if not args.no_kernel_roofline and not args.small:
-        kroof = kernel_roofline(spec)
+        try:
+            kroof = kernel_roofline(spec)
+        except Exception as e:  # never lose the headline to a microbench
+            print(f"warning: kernel_roofline failed: {e}", file=sys.stderr)
+            kroof = {"error": str(e)[:200]}
 
     result = {
         "metric": f"llama{args.model}-shape W4g128 decode throughput, 1 chip"

@@ -110,17 +110,24 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
          static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
                           "abits"),
          donate_argnames=("caches",))
-def _serve_prefill(params, toks, n_valid, lens0, caches, rng, forward, cfg,
-                   temperature, top_k, t_max, abits=None):
-    """One [B, S] prompt-chunk forward for continuous batching.
+def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
+                 feed_len, caches, rng, forward, cfg, temperature, top_k,
+                 t_max, abits=None):
+    """One prefill wave + C decode steps, device-side (ONE host sync).
 
-    ``toks[s, :n_valid[s]]`` are slot ``s``'s next prompt tokens (right-
-    padded; ``n_valid[s] == 0`` for slots not prefilling this wave).  Cache
-    views arrive with ``valid = n_valid`` so each slot writes exactly its
-    real tokens at its own columns and non-prefilling slots' state is
-    untouched.  Returns per-slot sampled tokens from each slot's LAST real
-    column (the first generated token for slots whose prompt completes this
-    wave; garbage otherwise — the host decides).
+    The wave feeds each slot's pending prompt tokens ([B, S] right-padded,
+    per-slot ``valid``); decode-ready slots piggyback as 1-valid-token
+    columns (Orca).  The chunk then decodes C further tokens for every slot,
+    starting from ``where(tok_src, wave_sample, tok0_else)`` -- the host
+    precomputes ``tok_src`` (True = the slot's prompt completes in the wave,
+    so it consumes its wave sample; False = its prompt still has tokens:
+    ``tok0_else`` is the next one and ``feed_next``/``feed_len`` stream the
+    rest through the chunk's feed machinery, _serve_chunk conventions).
+    Halving host round-trips matters because each one costs ~25 ms through a
+    tunneled chip -- and on any deployment it serializes the device against
+    the host scheduler.
+
+    Returns (wave_sample [B], chunk_sampled [B, C], caches).
     """
     from ..ops.qmatmul import activation_quant
 
@@ -129,13 +136,42 @@ def _serve_prefill(params, toks, n_valid, lens0, caches, rng, forward, cfg,
     lens_c = jnp.minimum(lens0, t_max - 1)
     positions = jnp.minimum(lens_c[:, None] + jnp.arange(s)[None, :], t_max - 1)
     mask = cols[None, None, None, :] <= positions[:, None, :, None]
+    rng, sub = jax.random.split(rng)
     with activation_quant(abits):
         logits, caches = forward(params, toks, cfg, caches=caches,
                                  positions=positions, attn_mask=mask)
     idx = jnp.clip(n_valid - 1, 0, s - 1)
     last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
-    nxt = sample_tokens(last, rng, temperature, top_k)
-    return nxt, caches
+    wave_tok = sample_tokens(last, sub, temperature, top_k)
+
+    # chunk phase: lengths advanced by the wave's valid counts; per-slot
+    # partial-write semantics end here (every chunk step writes one token)
+    lens1 = lens0 + n_valid
+    caches = [c._replace(valid=None) if hasattr(c, "_replace")
+              else c.replace(valid=None) for c in caches]
+    tok0 = jnp.where(tok_src, wave_tok, tok0_else)[:, None]
+
+    c = feed_next.shape[1]
+
+    def step(carry, inp):
+        tok, caches, lens, rng = carry
+        i, feed_col = inp
+        lens_c = jnp.minimum(lens, t_max - 1)
+        positions = lens_c[:, None]
+        mask = cols[None, None, None, :] <= lens_c[:, None, None, None]
+        rng, sub = jax.random.split(rng)
+        with activation_quant(abits):
+            logits, caches = forward(params, tok, cfg, caches=caches,
+                                     positions=positions, attn_mask=mask)
+        nxt = sample_tokens(logits[:, -1], sub, temperature, top_k)
+        tok_next = jnp.where((i + 1) < feed_len, feed_col, nxt)[:, None]
+        return (tok_next, caches, lens + 1, rng), nxt
+
+    (_, caches, _, _), sampled = jax.lax.scan(
+        step, (tok0, caches, lens1, rng),
+        (jnp.arange(c), jnp.swapaxes(feed_next, 0, 1)),
+    )
+    return wave_tok, jnp.swapaxes(sampled, 0, 1), caches
 
 
 class InferenceEngine:
@@ -455,7 +491,10 @@ class InferenceEngine:
                 else 0
                 for s in range(nslots)
             ])
+            c = chunk
+            sampled = None
             if remaining.max(initial=0) > 0:
+                # ---- combo: wave + chunk in ONE device call (one host sync)
                 cap = int(min(remaining.max(), prefill_cap))
                 sbkt = 8
                 while sbkt < cap:
@@ -478,63 +517,84 @@ class InferenceEngine:
                         slot_fed[s] : slot_fed[s] + cnt
                     ]
                     valid_np[s] = cnt
+                # chunk-phase inputs: slots whose prompt completes this wave
+                # decode from their wave sample (tok_src); slots with prompt
+                # left stream it through the chunk's feed machinery
+                tok_src = np.zeros(nslots, bool)
+                tok0_else = np.zeros(nslots, np.int64)
+                feed_next = np.zeros((nslots, c), np.int64)
+                feed_len = np.zeros(nslots, np.int64)
+                for s in range(nslots):
+                    if slot_req[s] < 0:
+                        continue
+                    if piggyback[s] or remaining[s] <= valid_np[s]:
+                        tok_src[s] = True
+                    else:
+                        rid = slot_req[s]
+                        rem = requests[rid][slot_fed[s] + valid_np[s]:]
+                        tok0_else[s] = rem[0]
+                        nfeed = int(min(len(rem), c))
+                        feed_next[s, : max(nfeed - 1, 0)] = rem[1:nfeed]
+                        feed_len[s] = nfeed
                 lens_np = np.minimum(slot_len, t_max - 1)
                 if paged:
                     ensure_pages(
-                        np.minimum(lens_np + np.maximum(valid_np, 1) - 1,
+                        np.minimum(lens_np + np.maximum(valid_np, 1) - 1 + c,
                                    t_max - 1)
                     )
                 caches = set_lengths(caches, lens_np, valid_np)
                 rng, sub = jax.random.split(rng)
-                nxt, caches = _serve_prefill(
+                wave_tok, sampled, caches = _serve_combo(
                     self.params, jnp.asarray(toks_np, jnp.int32),
                     jnp.asarray(valid_np, jnp.int32),
-                    jnp.asarray(lens_np, jnp.int32), caches, sub,
+                    jnp.asarray(lens_np, jnp.int32),
+                    jnp.asarray(tok_src), jnp.asarray(tok0_else, jnp.int32),
+                    jnp.asarray(feed_next, jnp.int32),
+                    jnp.asarray(feed_len, jnp.int32), caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
                     self.engine_cfg.activation_bits,
                 )
-                nxt_np = np.asarray(nxt)
+                # device advanced every slot by valid + c; releases below
+                # reset their slots to 0 (admit() also resets)
+                slot_len += valid_np + c
+                wave_np = np.asarray(wave_tok)
                 for s in range(nslots):
                     if valid_np[s] <= 0:
                         continue
                     rid = slot_req[s]
-                    slot_len[s] += valid_np[s]
                     if not piggyback[s]:
                         slot_fed[s] += valid_np[s]
                         if slot_fed[s] < len(requests[rid]):
-                            continue  # long prompt: next wave feeds the rest
-                    tok = int(nxt_np[s])  # next generated token
+                            continue  # prompt continues via the chunk feed
+                    tok = int(wave_np[s])  # next generated token
                     results[rid].append(tok)
                     slot_gen[s] += 1
                     if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
-                        release(s)
+                        release(s)  # its chunk tokens are discarded garbage
                     else:
                         pending_tok[s] = tok
-                continue  # re-admit / re-check prefill before decoding
-
-            c = chunk
-            toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
-            # prompts are fully prefilled by the wave above, so every chunk
-            # step consumes a sampled token (the feed path in _serve_chunk
-            # is inert: feed_len == 0)
-            feed_next = np.zeros((nslots, c), np.int64)
-            feed_len = np.zeros(nslots, np.int64)
-            # this chunk's tokens are written at the slot's own columns; idle
-            # slots keep writing (and reading) garbage that nothing consumes
-            # (page-table entry 0 -> the reserved garbage page under paging)
-            lens_np = np.minimum(slot_len, t_max - 1)
-            if paged:
-                ensure_pages(np.minimum(lens_np + c - 1, t_max - 1))
-            caches = set_lengths(caches, lens_np)
-            rng, sub = jax.random.split(rng)
-            sampled, caches = _serve_chunk(
-                self.params, toks, jnp.asarray(feed_next, jnp.int32),
-                jnp.asarray(feed_len, jnp.int32),
-                jnp.asarray(lens_np, jnp.int32), caches, sub,
-                self.forward, self.cfg, temperature, top_k, t_max,
-                self.engine_cfg.activation_bits,
-            )
-            slot_len += c
+            else:
+                # ---- pure decode: prompts all fed, no wave needed
+                toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
+                feed_next = np.zeros((nslots, c), np.int64)
+                feed_len = np.zeros(nslots, np.int64)
+                # this chunk's tokens are written at the slot's own columns;
+                # idle slots keep writing (and reading) garbage that nothing
+                # consumes (page-table entry 0 -> the reserved garbage page
+                # under paging)
+                lens_np = np.minimum(slot_len, t_max - 1)
+                if paged:
+                    ensure_pages(np.minimum(lens_np + c - 1, t_max - 1))
+                caches = set_lengths(caches, lens_np)
+                rng, sub = jax.random.split(rng)
+                sampled, caches = _serve_chunk(
+                    self.params, toks, jnp.asarray(feed_next, jnp.int32),
+                    jnp.asarray(feed_len, jnp.int32),
+                    jnp.asarray(lens_np, jnp.int32), caches, sub,
+                    self.forward, self.cfg, temperature, top_k, t_max,
+                    self.engine_cfg.activation_bits,
+                )
+                slot_len += c
             sampled = np.asarray(sampled)
             for s in range(nslots):
                 rid = slot_req[s]
