@@ -25,13 +25,21 @@ import numpy as np
 
 
 def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
-                          packed_sides=False):
+                          packed_sides=False, prenorm=True):
     """Random-init directly on device, quantizing each linear as it is made
     (avoids materializing the dense 7B model or host->device transfers).
 
     ``quantize_lm_head`` packs the lm_head too (the reference always skips it,
     quant_wrapper.py:53; here it is a serving option -- the 262 MB bf16 head
-    is ~0.4 ms of a 7 ms decode step)."""
+    is ~0.4 ms of a 7 ms decode step).
+
+    ``prenorm`` (quantized builds only) marks layer norms as folded
+    (``input_norm = post_norm = None``) so the weightless rmsnorm runs
+    inside the fused kernels -- exact here because the random init's gammas
+    are 1; real checkpoints use models.llama.fold_llama_norms before
+    quantization.  The bf16 baseline twin keeps explicit norms (folding
+    buys a dense XLA model nothing, and the speedup ratio must not charge
+    the baseline for our serving transform)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,16 +68,17 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
             fn_cache[(kin, kout, scale)] = jax.jit(make)
         return {"w": fn_cache[(kin, kout, scale)](k), "b": None}
 
+    norm = None if (prenorm and spec is not None) else jnp.ones((h,), dtype)
     keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
-            "input_norm": jnp.ones((h,), dtype),
+            "input_norm": norm,
             "q": qlin(next(keys), h, qdim),
             "k": qlin(next(keys), h, kvdim),
             "v": qlin(next(keys), h, kvdim),
             "o": qlin(next(keys), qdim, h),
-            "post_norm": jnp.ones((h,), dtype),
+            "post_norm": norm,
             "gate": qlin(next(keys), h, inter),
             "up": qlin(next(keys), h, inter),
             "down": qlin(next(keys), inter, h),
@@ -378,6 +387,9 @@ def main():
                          "(stacked views take unfused layers)")
     ap.add_argument("--no_kernel_roofline", action="store_true",
                     help="skip the per-shape kernel roofline measurement")
+    ap.add_argument("--no_prenorm", action="store_true",
+                    help="disable in-kernel rmsnorm (folded-gamma pre_norm "
+                         "path; ~37 us/layer of XLA norm ops, probe_glue.py)")
     ap.add_argument("--model", default="7b", choices=["7b", "13b"],
                     help="llama shape to benchmark (13b implies --scan for "
                          "depth-independent compile time)")
@@ -462,10 +474,12 @@ def main():
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
     params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
                                        quantize_lm_head=args.qhead,
-                                       packed_sides=args.packed_sides))
+                                       packed_sides=args.packed_sides,
+                                       prenorm=not args.no_prenorm))
     p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
                                   quantize_lm_head=args.qhead,
-                                  packed_sides=args.packed_sides))
+                                  packed_sides=args.packed_sides,
+                                  prenorm=not args.no_prenorm))
     p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
     pairs = {
         "full": decode_runner_pair(cfg, params_w4, batch,

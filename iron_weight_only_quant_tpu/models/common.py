@@ -82,8 +82,9 @@ class FusedLinear:
     b: Optional[jnp.ndarray]
     spans: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
 
-    def apply(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-        y = linear(x, {"w": self.w, "b": self.b})
+    def apply(self, x: jnp.ndarray,
+              pre_norm: Optional[float] = None) -> Tuple[jnp.ndarray, ...]:
+        y = linear(x, {"w": self.w, "b": self.b}, pre_norm=pre_norm)
         return tuple(y[..., a:b] for a, b in self.spans)
 
 
@@ -106,7 +107,9 @@ def stacked_layer_view(stacked: Dict[str, Any], l) -> Dict[str, Any]:
     """
     lp = {}
     for name, v in stacked.items():
-        if _is_stacked_linear(v):
+        if v is None:  # e.g. folded norm weights (fold_llama_norms)
+            lp[name] = None
+        elif _is_stacked_linear(v):
             lp[name] = StackedLinear(v, l)
         elif isinstance(v, dict):
             lp[name] = jax.tree.map(lambda a: a[l], v)
@@ -115,14 +118,27 @@ def stacked_layer_view(stacked: Dict[str, Any], l) -> Dict[str, Any]:
     return lp
 
 
-def linear(x: jnp.ndarray, p: Any) -> jnp.ndarray:
+def linear(x: jnp.ndarray, p: Any,
+           pre_norm: Optional[float] = None) -> jnp.ndarray:
     """Apply a linear layer whose weight is dense ``[K, N]`` or quantized.
 
     This is the single seam where quantization enters the model -- the
     functional counterpart of the reference's module surgery that swaps
     ``nn.Linear`` for ``QuantLinear`` (quant_wrapper.py:52-80).  Accepts a
     plain param dict or a :class:`StackedLinear` view (scan-over-layers).
+
+    ``pre_norm`` (the rms eps) applies a weightless rmsnorm to x first --
+    fused into the Pallas kernel on TPU (probe_glue.py measured the XLA
+    rmsnorms between kernel calls at ~37 us/layer of decode); the norm
+    gamma must already be folded into the weights (fold_llama_norms).
     """
+    def norm(x):
+        if pre_norm is None:
+            return x
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + pre_norm)).astype(x.dtype)
+
     if isinstance(p, StackedLinear):
         from ..ops.qmatmul import quantized_matmul_stacked
 
@@ -130,17 +146,19 @@ def linear(x: jnp.ndarray, p: Any) -> jnp.ndarray:
         if b is not None:
             b = b[p.idx]
         if isinstance(w, QuantizedTensor):
-            return quantized_matmul_stacked(x, w, p.idx, bias=b)
-        y = jnp.dot(x, w[p.idx].astype(x.dtype), preferred_element_type=x.dtype)
+            return quantized_matmul_stacked(x, w, p.idx, bias=b,
+                                            pre_norm=pre_norm)
+        y = jnp.dot(norm(x), w[p.idx].astype(x.dtype),
+                    preferred_element_type=x.dtype)
         if b is not None:
             y = y + b.astype(x.dtype)
         return y
     if _LINEAR_RECORDER is not None and "name" in p:
-        _LINEAR_RECORDER(p["name"], x)
+        _LINEAR_RECORDER(p["name"], norm(x) if pre_norm is not None else x)
     w, b = p["w"], p.get("b")
     if isinstance(w, QuantizedTensor):
-        return quantized_matmul(x, w, bias=b)
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+        return quantized_matmul(x, w, bias=b, pre_norm=pre_norm)
+    y = jnp.dot(norm(x), w.astype(x.dtype), preferred_element_type=x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y

@@ -109,17 +109,26 @@ def _block(
     b, s, h = x.shape
     hd = cfg.hd
 
-    attn_in = rmsnorm(x, p["input_norm"], cfg.rms_norm_eps)
+    # a None norm weight means its gamma was folded into the following
+    # projection's weights (fold_llama_norms): the weightless rmsnorm then
+    # runs INSIDE the fused kernel (pre_norm) -- the two XLA rmsnorms
+    # between kernel calls measured ~37 us/layer of decode (probe_glue.py)
+    pre_attn = cfg.rms_norm_eps if p.get("input_norm") is None else None
+    attn_in = x if pre_attn is not None else rmsnorm(
+        x, p["input_norm"], cfg.rms_norm_eps)
     if "qkv" in p:
         # fused projection: one wide kernel call (see fuse_llama_projections)
-        q, k, v = p["qkv"].apply(attn_in)
+        q, k, v = p["qkv"].apply(attn_in, pre_norm=pre_attn)
         q = q.reshape(b, s, cfg.num_heads, hd)
         k = k.reshape(b, s, cfg.num_kv_heads, hd)
         v = v.reshape(b, s, cfg.num_kv_heads, hd)
     else:
-        q = linear(attn_in, p["q"]).reshape(b, s, cfg.num_heads, hd)
-        k = linear(attn_in, p["k"]).reshape(b, s, cfg.num_kv_heads, hd)
-        v = linear(attn_in, p["v"]).reshape(b, s, cfg.num_kv_heads, hd)
+        q = linear(attn_in, p["q"], pre_norm=pre_attn).reshape(
+            b, s, cfg.num_heads, hd)
+        k = linear(attn_in, p["k"], pre_norm=pre_attn).reshape(
+            b, s, cfg.num_kv_heads, hd)
+        v = linear(attn_in, p["v"], pre_norm=pre_attn).reshape(
+            b, s, cfg.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -130,13 +139,17 @@ def _block(
     attn = attend(q, k, v, mask)
     x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
 
-    mlp_in = rmsnorm(x, p["post_norm"], cfg.rms_norm_eps)
+    pre_mlp = cfg.rms_norm_eps if p.get("post_norm") is None else None
+    mlp_in = x if pre_mlp is not None else rmsnorm(
+        x, p["post_norm"], cfg.rms_norm_eps)
     if "gate_up" in p:
-        gate, up = p["gate_up"].apply(mlp_in)
+        gate, up = p["gate_up"].apply(mlp_in, pre_norm=pre_mlp)
         gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
     else:
-        gate = jax.nn.silu(linear(mlp_in, p["gate"]).astype(jnp.float32)).astype(x.dtype)
-        up = linear(mlp_in, p["up"])
+        gate = jax.nn.silu(
+            linear(mlp_in, p["gate"], pre_norm=pre_mlp).astype(jnp.float32)
+        ).astype(x.dtype)
+        up = linear(mlp_in, p["up"], pre_norm=pre_mlp)
     x = x + linear(gate * up, p["down"])
     return x, cache
 
@@ -186,6 +199,50 @@ def llama_forward(
     else:
         logits = linear(x, params["lm_head"])
     return logits, new_caches
+
+
+def fold_llama_norms(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Absorb each rmsnorm's gamma into the following projections' weights.
+
+    ``rmsnorm(x, γ) @ W == rmsnorm(x, 1) @ (diag(γ) W)`` exactly, so serving
+    can run the weightless norm INSIDE the fused kernel (linear(...,
+    pre_norm=eps)) with zero XLA ops between kernel calls.  Folded layers
+    carry ``input_norm = post_norm = None`` -- the marker _block keys on.
+
+    Apply to DENSE weights BEFORE quantization: quantizing diag(γ)W lets the
+    per-group scales absorb γ (folding after quantization would change the
+    dequantized values).  A classic serving transform (γ is a per-row weight
+    rescale, exactly like the reference's SmoothQuant fold direction,
+    reference.py:1-85 capability).
+    """
+    from ..quantize.qtensor import QuantizedTensor
+
+    def fold(lin, gamma):
+        w = lin["w"]
+        if isinstance(w, QuantizedTensor):
+            raise ValueError(
+                "fold_llama_norms must run on dense weights, before "
+                "quantization"
+            )
+        return {**lin, "w": (w.astype(jnp.float32)
+                             * gamma.astype(jnp.float32)[:, None]
+                             ).astype(w.dtype)}
+
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        if p.get("input_norm") is not None:
+            g = p["input_norm"]
+            for key in ("q", "k", "v"):
+                p[key] = fold(p[key], g)
+            p["input_norm"] = None
+        if p.get("post_norm") is not None:
+            g = p["post_norm"]
+            for key in ("gate", "up"):
+                p[key] = fold(p[key], g)
+            p["post_norm"] = None
+        layers.append(p)
+    return {**params, "layers": layers}
 
 
 def fuse_llama_projections(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -269,7 +326,8 @@ def llama_forward_scan(
     cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta, cfg.condense_ratio)
 
     stacked = params["layers_stacked"]
-    n_layers = stacked["input_norm"].shape[0]
+    # folded params carry input_norm=None; any stacked leaf gives the depth
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
 
     # weights stay put in HBM: linears become StackedLinear views that the
     # fused kernel indexes via scalar prefetch; per-layer vectors (norms)

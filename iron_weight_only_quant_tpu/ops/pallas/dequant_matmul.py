@@ -105,7 +105,7 @@ def _pick_tm(m: int) -> int:
 
 def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
                  mult: float = 1.0, zshift: float = 0.0,
-                 apply_z: bool = True):
+                 apply_z: bool = True, load_x=None):
     """Accumulate one K-slab's contribution with scales in the epilogue.
 
     The dequant product is refactored so the MXU consumes *raw stored codes*
@@ -132,7 +132,7 @@ def _group_accum(acc, x, codes, load_sz, rs: int, g: int, dtype,
     int_path = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
     for r in range(rs):
         qg = codes[r * g : (r + 1) * g, :].astype(dtype)
-        xg = x[:, r * g : (r + 1) * g]
+        xg = x[:, r * g : (r + 1) * g] if load_x is None else load_x(r)
         if int_path:
             # W4A8 / W8A8: int8 x int8 MXU contraction at 2x bf16 rate
             part = jnp.dot(xg, qg, preferred_element_type=jnp.int32).astype(
@@ -254,6 +254,96 @@ def _int4_kernel_packed(x_lo_ref, x_hi_ref, qw_ref, sz_ref, o_ref, acc_ref,
                _packed_sz(sz_ref, kk * rs),
                _packed_sz(sz_ref, (nk + kk) * rs),
                o_ref, acc_ref, out_dtype, rs)
+
+
+def _int4_kernel_prenorm(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, r_scr,
+                         *, rs: int, nk: int, tpk: int, kp: int, eps: float,
+                         klog: int, out_dtype):
+    """Fused rmsnorm (gamma folded into the weights) + int4 dequant-matmul.
+
+    The XLA rmsnorm ops between Pallas calls measured ~18 us EACH at decode
+    (scripts/probe_glue.py -- launch/fusion overhead, not compute: x is
+    [8, 4096]).  Here x arrives UN-normalized as one full-K block (tiny:
+    tm x K bf16 <= 128 KB VMEM, revisited not re-DMA'd), the row scaler
+    r = rsqrt(mean(x^2) + eps) is computed once on the VPU, the MXU
+    consumes raw x, and r scales the output tile in the epilogue --
+    y = r * (x @ W') is exact because the whole contraction is linear in x.
+    The norm weight (gamma) must already be folded into the quantized
+    weights (quantize-time transform; see models.llama.fold_llama_norms).
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xf = x_ref[:].astype(jnp.float32)
+        # divide by the LOGICAL K (zero-padded k_pad columns must not
+        # dilute the mean)
+        ms = jnp.sum(xf * xf, axis=1, keepdims=True) / klog
+        r_scr[:, :1] = jax.lax.rsqrt(ms + eps)
+
+    qw = qw_ref[:]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
+    lo = (qw & 0xF).astype(jnp.int8)
+    hi = qw_i8 & jnp.int8(-16)
+    g = tpk // rs
+    dtype = x_ref.dtype
+
+    def load_lo(r):
+        return x_ref[:, pl.ds(kk * tpk + r * g, g)]
+
+    def load_hi(r):
+        return x_ref[:, pl.ds(kp + kk * tpk + r * g, g)]
+
+    acc = acc_ref[:]
+    acc = _group_accum(acc, None, lo, _flat_sz(s_ref, z_ref, kk * rs),
+                       rs, g, dtype, load_x=load_lo)
+    acc = _group_accum(acc, None, hi, _flat_sz(s_ref, z_ref, (nk + kk) * rs),
+                       rs, g, dtype, mult=1.0 / 16.0, zshift=8.0,
+                       load_x=load_hi)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = (acc_ref[:] * r_scr[:, :1]).astype(out_dtype)
+
+
+def _int8_kernel_prenorm(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, r_scr,
+                         *, rs: int, tpk: int, eps: float, klog: int, out_dtype):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xf = x_ref[:].astype(jnp.float32)
+        # divide by the LOGICAL K (zero-padded k_pad columns must not
+        # dilute the mean)
+        ms = jnp.sum(xf * xf, axis=1, keepdims=True) / klog
+        r_scr[:, :1] = jax.lax.rsqrt(ms + eps)
+
+    codes = jax.lax.bitcast_convert_type(qw_ref[:], jnp.int8)
+    g = tpk // rs
+
+    def load_x(r):
+        return x_ref[:, pl.ds(kk * tpk + r * g, g)]
+
+    acc_ref[:] = _group_accum(acc_ref[:], None, codes,
+                              _flat_sz(s_ref, z_ref, kk * rs), rs, g,
+                              x_ref.dtype, load_x=load_x)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = (acc_ref[:] * r_scr[:, :1]).astype(out_dtype)
+
+
+def _int4_kernel_prenorm_pfx(l_ref, *args, **kw):
+    del l_ref
+    _int4_kernel_prenorm(*args, **kw)
+
+
+def _int8_kernel_prenorm_pfx(l_ref, *args, **kw):
+    del l_ref
+    _int8_kernel_prenorm(*args, **kw)
 
 
 def _int4_kernel_a16(xa_lo, xa_hi, xb_lo, xb_hi, qw_ref, s_ref, z_ref,
@@ -1064,10 +1154,28 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         lidx, *operands)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
+def prenorm_supported(qt: QuantizedTensor) -> bool:
+    """Whether the in-kernel rmsnorm (pre_norm) path exists for this
+    artifact (affine int4/int8 kernels, flat or stacked)."""
+    return (qt.mode == "affine" and _storage_layout_bits(qt) in (4, 8)
+            and qt.side_packed is None)
+
+
+def _rms_nogamma(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Fallback rmsnorm WITHOUT a weight (gamma already folded into the
+    quantized weights) for paths with no in-kernel pre-norm."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "activation_bits",
+                                    "pre_norm"))
 def fused_quantized_matmul(
     x: jnp.ndarray, qt: QuantizedTensor, interpret: bool = False,
     activation_bits: Optional[int] = None,
+    pre_norm: Optional[float] = None,
 ) -> jnp.ndarray:
     """``y = x @ dequant(qt)``; x: [..., K].
 
@@ -1075,9 +1183,20 @@ def fused_quantized_matmul(
     dynamically quantized per row (absmax int8) and the MXU runs int8 x int8
     contractions at twice the bf16 rate; the per-row scale is applied to the
     output.  Changes numerics (~0.3% activation quant error) -- opt-in.
+
+    ``pre_norm`` (the rms eps) fuses a weightless rmsnorm into the kernel:
+    x arrives un-normalized, ``r = rsqrt(mean(x^2)+eps)`` is computed on the
+    VPU and scales the output tile in the epilogue.  The norm gamma must be
+    folded into the weights (fold_llama_norms).  The two XLA rmsnorms
+    between kernel calls measured ~37 us/layer of decode (probe_glue.py).
     """
     bits = _storage_layout_bits(qt)
     lut = qt.mode == "lut"
+    if pre_norm is not None and (activation_bits is not None
+                                 or not prenorm_supported(qt)):
+        # unsupported combination: normalize in XLA and continue plain
+        x = _rms_nogamma(x, pre_norm)
+        pre_norm = None
     if activation_bits == 16 and not a16_supported(qt):
         # the split-plane path exists for the int4/int8 kernels only; a16 is
         # an engine-wide serving default, so degrade to full-precision
@@ -1112,7 +1231,8 @@ def fused_quantized_matmul(
         if plan0 is not None and _flat_via_prefetch(plan0[1]):
             qt1 = jax.tree.map(lambda a: a[None], qt)
             return fused_quantized_matmul_stacked.__wrapped__(
-                x, qt1, jnp.asarray(0, jnp.int32), interpret, activation_bits
+                x, qt1, jnp.asarray(0, jnp.int32), interpret, activation_bits,
+                pre_norm,
             )
 
     x2, m, m_pad, tm, out_dtype, out_scale = _prep_x(x, k, activation_bits)
@@ -1148,7 +1268,7 @@ def fused_quantized_matmul(
     # (11008 -> tpk=128, 43 grid steps); the artifact keeps the f32 arrays,
     # so pick per shape
     packed = (qt.side_packed is not None and tpk >= 256 and not lut
-              and activation_bits != 16)
+              and activation_bits != 16 and pre_norm is None)
     if packed:
         side_ops = [_normalize_side(qt.side_packed, k, n, g_target)]
         side_specs = [side_spec]
@@ -1192,6 +1312,28 @@ def fused_quantized_matmul(
     xspec_lo = pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk))
     xspec_hi = pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk))
     wspec = pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j))
+    if pre_norm is not None:
+        # in-kernel rmsnorm: ONE full-K x block (tm x K bf16, <=128 KB VMEM,
+        # constant index -> fetched once), slabs sliced in-kernel; r scales
+        # the output tile in the epilogue
+        x_full = pl.BlockSpec((tm, k), lambda i, j, kk: (i, 0))
+        common["scratch_shapes"] = (common["scratch_shapes"]
+                                    + [pltpu.VMEM((tm, 128), jnp.float32)])
+        if bits == 4:
+            kernel = functools.partial(
+                _int4_kernel_prenorm, rs=rs, nk=nk, tpk=tpk, kp=kp,
+                eps=pre_norm, klog=qt.shape[0], out_dtype=out_dtype)
+        else:
+            kernel = functools.partial(
+                _int8_kernel_prenorm, rs=rs, tpk=tpk,
+                eps=pre_norm, klog=qt.shape[0], out_dtype=out_dtype)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_full, wspec, *side_specs],
+            **common,
+        )(x2, qt.qweight, *side_ops)
+        return _finish(out, x, qt, m, m_pad, out_scale)
     if bits == 4:
         if activation_bits == 16:
             xa, xb = x2
@@ -1269,10 +1411,13 @@ def _lut8_kernel_pfx(l_ref, *args, **kw):
     _lut8_kernel(*args, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "activation_bits"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "activation_bits",
+                                    "pre_norm"))
 def fused_quantized_matmul_stacked(
     x: jnp.ndarray, qt: QuantizedTensor, layer_idx: jnp.ndarray,
     interpret: bool = False, activation_bits: Optional[int] = None,
+    pre_norm: Optional[float] = None,
 ) -> jnp.ndarray:
     """``y = x @ dequant(qt[layer_idx])`` for a layer-stacked artifact.
 
@@ -1292,6 +1437,10 @@ def fused_quantized_matmul_stacked(
     """
     bits = _storage_layout_bits(qt)
     lut = qt.mode == "lut"
+    if pre_norm is not None and (activation_bits is not None
+                                 or not prenorm_supported(qt)):
+        x = _rms_nogamma(x, pre_norm)
+        pre_norm = None
     if activation_bits == 16 and not a16_supported(qt):
         import warnings
 
@@ -1355,7 +1504,21 @@ def fused_quantized_matmul_stacked(
                             lambda i, j, kk, l, _nk=nk: (i, _nk + kk))
     wspec = pl.BlockSpec((tpk, tn),
                          lambda i, j, kk, l, _nk=nk: (l[0] * _nk + kk, j))
-    if lut:
+    if pre_norm is not None:
+        x_full = pl.BlockSpec((tm, k), lambda i, j, kk, l: (i, 0))
+        common["scratch_shapes"] = (common["scratch_shapes"]
+                                    + [pltpu.VMEM((tm, 128), jnp.float32)])
+        if bits == 4:
+            kernel = functools.partial(
+                _int4_kernel_prenorm_pfx, rs=rs, nk=nk, tpk=tpk, kp=kp,
+                eps=pre_norm, klog=qt.shape[0], out_dtype=out_dtype)
+        else:
+            kernel = functools.partial(
+                _int8_kernel_prenorm_pfx, rs=rs, tpk=tpk,
+                eps=pre_norm, klog=qt.shape[0], out_dtype=out_dtype)
+        in_specs = [x_full, wspec, side_spec, side_spec]
+        operands = (x2, qw2, scales2, zeros2)
+    elif lut:
         fmt = qt.spec.float_format
         if bits == 4:
             kernel = functools.partial(

@@ -83,6 +83,12 @@ class activation_quant:
         return False
 
 
+def _rms_nogamma(x: jnp.ndarray, eps: float, dtype) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps)).astype(dtype)
+
+
 def quantized_matmul(
     x: jnp.ndarray,
     qt: QuantizedTensor,
@@ -91,6 +97,7 @@ def quantized_matmul(
     use_pallas: Optional[bool] = None,
     accum_dtype=jnp.float32,
     activation_bits: Optional[int] = None,
+    pre_norm: Optional[float] = None,
 ) -> jnp.ndarray:
     """``y = x @ dequant(qt) (+ bias)`` with fused-kernel dispatch.
 
@@ -99,6 +106,10 @@ def quantized_matmul(
     ``activation_bits`` (or the ambient ``activation_quant`` context) enables
     the int8-activation kernel path; it applies to the fused TPU kernel only
     (the XLA fallback stays full-precision).
+    ``pre_norm`` (the rms eps) applies a weightless rmsnorm to x first --
+    in-kernel on the fused TPU path (the norm gamma must be folded into the
+    weights, see models.llama.fold_llama_norms), as a plain XLA op
+    otherwise.
     """
     if activation_bits is None:
         activation_bits = _DEFAULT_ACTIVATION_BITS
@@ -109,8 +120,11 @@ def quantized_matmul(
     if use_pallas:
         from .pallas.dequant_matmul import fused_quantized_matmul
 
-        out = fused_quantized_matmul(x, qt, activation_bits=activation_bits)
+        out = fused_quantized_matmul(x, qt, activation_bits=activation_bits,
+                                     pre_norm=pre_norm)
     else:
+        if pre_norm is not None:
+            x = _rms_nogamma(x, pre_norm, x.dtype)
         w = dequantize_weight(qt, dtype=accum_dtype)
         out = jnp.dot(
             x.astype(accum_dtype), w, preferred_element_type=accum_dtype
@@ -144,6 +158,7 @@ def quantized_matmul_stacked(
     use_pallas: Optional[bool] = None,
     accum_dtype=jnp.float32,
     activation_bits: Optional[int] = None,
+    pre_norm: Optional[float] = None,
 ) -> jnp.ndarray:
     """``y = x @ dequant(qt[layer_idx]) (+ bias)`` for layer-stacked artifacts.
 
@@ -164,9 +179,12 @@ def quantized_matmul_stacked(
         from .pallas.dequant_matmul import fused_quantized_matmul_stacked
 
         out = fused_quantized_matmul_stacked(
-            x, qt, layer_idx, activation_bits=activation_bits
+            x, qt, layer_idx, activation_bits=activation_bits,
+            pre_norm=pre_norm,
         )
     else:
+        if pre_norm is not None:
+            x = _rms_nogamma(x, pre_norm, x.dtype)
         w = dequantize_weight(index_stacked(qt, layer_idx), dtype=accum_dtype)
         out = jnp.dot(
             x.astype(accum_dtype), w, preferred_element_type=accum_dtype

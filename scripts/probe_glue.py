@@ -41,6 +41,56 @@ def make_forward(variant: str, cfg):
         b, s, h = x.shape
         hd = cfg.hd
 
+        if variant == "prenorm":
+            # in-kernel weightless rmsnorm (gamma==1 in this probe's random
+            # init, so exact); measures the implemented pre_norm path
+            q, k, v = p["qkv"].apply(x, pre_norm=cfg.rms_norm_eps)
+            q = q.reshape(b, s, cfg.num_heads, hd)
+            k = k.reshape(b, s, cfg.num_kv_heads, hd)
+            v = v.reshape(b, s, cfg.num_kv_heads, hd)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            cache, k, v = update_and_fetch(cache, k, v)
+            attn = attend(q, k, v, mask)
+            x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+            gate, up = p["gate_up"].apply(x, pre_norm=cfg.rms_norm_eps)
+            gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + linear(gate * up, p["down"])
+            return x, cache
+
+        if variant == "bhtd_cache":
+            # cache stored [B, H, T, D]: the attention einsums consume it
+            # with NO per-step transposition of the whole cache slab
+            attn_in = rmsnorm(x, p["input_norm"], cfg.rms_norm_eps)
+            q, k, v = p["qkv"].apply(attn_in)
+            q = q.reshape(b, s, cfg.num_heads, hd)
+            k = k.reshape(b, s, cfg.num_kv_heads, hd)
+            v = v.reshape(b, s, cfg.num_kv_heads, hd)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            start = cache.length
+            kc = jax.lax.dynamic_update_slice(
+                cache.k, k.transpose(0, 2, 1, 3).astype(cache.k.dtype),
+                (0, 0, start, 0))
+            vc = jax.lax.dynamic_update_slice(
+                cache.v, v.transpose(0, 2, 1, 3).astype(cache.v.dtype),
+                (0, 0, start, 0))
+            cache = cache._replace(k=kc, v=vc, length=cache.length + s)
+            scores = jnp.einsum("bshd,bhtd->bhst", q,
+                                kc.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * hd**-0.5
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhst,bhtd->bshd", probs.astype(vc.dtype),
+                              vc, preferred_element_type=jnp.float32
+                              ).astype(q.dtype)
+            x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+            mlp_in = rmsnorm(x, p["post_norm"], cfg.rms_norm_eps)
+            gate, up = p["gate_up"].apply(mlp_in)
+            gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + linear(gate * up, p["down"])
+            return x, cache
+
         attn_in = x if variant == "no_norms" else rmsnorm(
             x, p["input_norm"], cfg.rms_norm_eps)
         if "qkv" in p:
@@ -86,7 +136,8 @@ def make_forward(variant: str, cfg):
         start = caches[0].length
         if positions is None:
             positions = start + jnp.arange(s)
-        t_max = cache_max_len(caches[0])
+        t_max = (caches[0].k.shape[2] if variant == "bhtd_cache"
+                 else cache_max_len(caches[0]))
         cols = jnp.arange(t_max)[None, :]
         qpos = positions if positions.ndim == 1 else positions[0]
         mask = (cols <= qpos[:, None])[None, None]
@@ -102,7 +153,8 @@ def make_forward(variant: str, cfg):
     return fwd
 
 
-def time_variant(cfg, params, fwd, batch, t_lo=12, t_hi=36, max_len=64):
+def time_variant(cfg, params, fwd, batch, t_lo=12, t_hi=36, max_len=64,
+                 cache_tx=None):
     from iron_weight_only_quant_tpu.config import KVCacheConfig
     from iron_weight_only_quant_tpu.engine.kvcache import make_caches
 
@@ -112,6 +164,8 @@ def time_variant(cfg, params, fwd, batch, t_lo=12, t_hi=36, max_len=64):
             caches = make_caches(cfg.num_layers, batch, cfg.num_kv_heads,
                                  cfg.hd, KVCacheConfig(max_seq_len=max_len),
                                  jnp.bfloat16)
+            if cache_tx is not None:
+                caches = [cache_tx(c) for c in caches]
             logits, caches = fwd(params, prompt, cfg, caches=caches)
             tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
 
@@ -161,10 +215,17 @@ def main():
         build_quantized_llama(cfg, jax.random.PRNGKey(0), spec, jnp.bfloat16))
 
     variants = ["full", "no_attend", "no_cache", "no_rope", "no_norms",
-                "matmuls_only"]
+                "matmuls_only", "prenorm", "bhtd_cache"]
+
+    def bhtd_tx(c):
+        return c._replace(k=jnp.swapaxes(c.k, 1, 2),
+                          v=jnp.swapaxes(c.v, 1, 2))
+
     runners = {}
     for v in variants:
-        runners[v] = time_variant(cfg, params, make_forward(v, cfg), batch)
+        runners[v] = time_variant(
+            cfg, params, make_forward(v, cfg), batch,
+            cache_tx=bhtd_tx if v == "bhtd_cache" else None)
         print(f"compiled {v}", flush=True)
 
     t_lo = {v: float("inf") for v in variants}

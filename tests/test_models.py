@@ -205,6 +205,67 @@ class TestFusedProjections:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_fold_llama_norms_exact(self):
+        """rmsnorm(x, gamma) @ W == rmsnorm_nogamma(x) @ (diag(gamma) W):
+        folding on dense weights must preserve the forward exactly."""
+        import jax
+        import numpy as np
+        from iron_weight_only_quant_tpu.models import (
+            LlamaConfig,
+            llama_forward,
+            llama_init,
+        )
+        from iron_weight_only_quant_tpu.models.llama import fold_llama_norms
+
+        cfg = LlamaConfig.tiny(vocab_size=128)
+        params = llama_init(cfg, jax.random.PRNGKey(3))
+        # non-trivial gammas so the fold actually moves weight mass
+        rng = np.random.default_rng(7)
+        for p in params["layers"]:
+            p["input_norm"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, p["input_norm"].shape
+                            ).astype(np.float32))
+            p["post_norm"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, p["post_norm"].shape
+                            ).astype(np.float32))
+        folded = fold_llama_norms(params)
+        assert folded["layers"][0]["input_norm"] is None
+        toks = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8))
+        a, _ = llama_forward(params, toks, cfg)
+        b, _ = llama_forward(folded, toks, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fold_then_quantize_scan_runs(self):
+        """Folded params survive quantization + layer stacking (scan path:
+        None norms pass through stacked_layer_view)."""
+        import jax
+        import numpy as np
+        from iron_weight_only_quant_tpu.config import QuantSpec
+        from iron_weight_only_quant_tpu.models import (
+            LlamaConfig,
+            llama_forward,
+            llama_init,
+        )
+        from iron_weight_only_quant_tpu.models.llama import (
+            fold_llama_norms,
+            llama_forward_scan,
+            stack_llama_layers,
+        )
+        from iron_weight_only_quant_tpu.quantize.model_pass import (
+            quantize_model_params,
+        )
+
+        cfg = LlamaConfig.tiny(vocab_size=128)
+        params = fold_llama_norms(llama_init(cfg, jax.random.PRNGKey(4)))
+        spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        qp, _ = quantize_model_params(params, spec)
+        toks = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8))
+        flat, _ = llama_forward(qp, toks, cfg)
+        scanned, _ = llama_forward_scan(stack_llama_layers(qp), toks, cfg)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(scanned),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_concat_n_with_padding_spans(self):
         import numpy as np
         from iron_weight_only_quant_tpu.config import QuantSpec

@@ -270,6 +270,62 @@ def test_packed_sides_bf16_roundtrip(weight):
     np.testing.assert_array_equal(z, np.broadcast_to(np.asarray(qt.zeros), s.shape))
 
 
+class TestPrenormKernel:
+    """In-kernel weightless rmsnorm (folded-gamma pre_norm): y must equal
+    rmsnorm(x) @ dequant(W) -- r scales the epilogue, exact by linearity."""
+
+    def _ref(self, x, qt, eps):
+        xf = np.asarray(x, np.float32)
+        r = 1.0 / np.sqrt(np.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        return (xf * r) @ np.asarray(dequantize_weight(qt))
+
+    @pytest.mark.parametrize("bits", [4, 8])
+    @pytest.mark.parametrize("m", [1, 16])
+    def test_prenorm_matches_norm_then_matmul(self, weight, bits, m):
+        rng = np.random.default_rng(31)
+        spec = QuantSpec(fmt="int", bits=bits, group_size=128, symmetric=False)
+        qt = quantize_tensor(weight, spec)
+        from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+            prenorm_supported,
+        )
+
+        assert prenorm_supported(qt)
+        x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32)) * 3.0
+        y = np.asarray(fused_quantized_matmul(x, qt, interpret=True,
+                                              pre_norm=1e-5))
+        np.testing.assert_allclose(y, self._ref(x, qt, 1e-5),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_prenorm_stacked(self):
+        rng = np.random.default_rng(32)
+        spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+        qts = [quantize_tensor(
+            jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32) * 0.05),
+            spec) for _ in range(2)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32)) * 2.0
+        for l in (0, 1):
+            y = np.asarray(fused_quantized_matmul_stacked(
+                x, stacked, l, interpret=True, pre_norm=1e-5))
+            np.testing.assert_allclose(y, self._ref(x, qts[l], 1e-5),
+                                       rtol=2e-5, atol=2e-4)
+
+    def test_prenorm_unsupported_falls_back(self, weight):
+        """LUT artifacts have no in-kernel pre-norm: the wrapper normalizes
+        in XLA and the result still equals rmsnorm(x) @ W."""
+        from iron_weight_only_quant_tpu.config import FloatFormat
+
+        spec = QuantSpec(fmt="fp", bits=4, float_format=FloatFormat(2, 1),
+                         group_size=128, symmetric=True)
+        qt = quantize_tensor(weight, spec)
+        rng = np.random.default_rng(33)
+        x = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+        y = np.asarray(fused_quantized_matmul(x, qt, interpret=True,
+                                              pre_norm=1e-5))
+        np.testing.assert_allclose(y, self._ref(x, qt, 1e-5),
+                                   rtol=2e-4, atol=5e-4)
+
+
 class TestInt3Kernel:
     """Fused s21 3-bit kernel (the reference's one native component is the
     3-bit CUDA mat-vec, quant_cuda_kernel.cu:88-165)."""
