@@ -269,9 +269,16 @@ def kernel_roofline(spec, rounds=4, hbm_floor_bytes=192 * 2**20):
         x = jnp.asarray(
             rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16
         )
+        # square shapes chain y = f_i(y) through every distinct buffer per
+        # iteration (serialized by data dependency, zero dispatch overhead);
+        # a 22-way lax.switch measured ~3x the true per-op time.  Weight
+        # scale k^-1/2 keeps chained magnitudes O(1).
+        chain = k == n
+        wscale = k**-0.5 if chain else 0.02
 
         def make_qt():
-            w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.02)
+            w = jnp.asarray(
+                rng.normal(size=(k, n)).astype(np.float32) * wscale)
             return quantize_tensor(w, spec, pad_n_to=512)
 
         qt0 = make_qt()
@@ -281,31 +288,49 @@ def kernel_roofline(spec, rounds=4, hbm_floor_bytes=192 * 2**20):
         n_q = max(2, -(-hbm_floor_bytes // qb_one))
         n_d = max(2, -(-hbm_floor_bytes // db_one))
         qts = [qt0] + [make_qt() for _ in range(n_q - 1)]
-        wds = [jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16) * 0.02
+        wds = [jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16) * wscale
                for _ in range(n_d)]
         qbytes = qb_one + x.size * 2 + m * n * 2
         dbytes = db_one + x.size * 2 + m * n * 2
 
-        def f_q(xx, ops, i):
-            return jax.lax.switch(
-                i % len(ops),
-                [(lambda x2, q=q: fused_quantized_matmul(x2, q)) for q in ops],
-                xx,
-            )
+        if chain:
+            def f_q(xx, ops, i):
+                y = xx
+                for q in ops:
+                    y = fused_quantized_matmul(y, q).astype(xx.dtype)
+                return y
 
-        def f_d(xx, ops, i):
-            return jax.lax.switch(
-                i % len(ops),
-                [(lambda x2, w=w: jnp.dot(x2, w)) for w in ops],
-                xx,
-            )
+            def f_d(xx, ops, i):
+                y = xx
+                for w in ops:
+                    y = jnp.dot(y, w)
+                return y
+        else:
+            def f_q(xx, ops, i):
+                return jax.lax.switch(
+                    i % len(ops),
+                    [(lambda x2, q=q: fused_quantized_matmul(x2, q))
+                     for q in ops],
+                    xx,
+                )
 
+            def f_d(xx, ops, i):
+                return jax.lax.switch(
+                    i % len(ops),
+                    [(lambda x2, w=w: jnp.dot(x2, w)) for w in ops],
+                    xx,
+                )
+
+        it_q = (25, 100) if chain else (100, 400)
         t_q = t_d = float("inf")
         for _ in range(rounds):
-            tq = _slope_timeit(f_q, x, tuple(qts))
-            td = _slope_timeit(f_d, x, tuple(wds), fold="sum")
+            tq = _slope_timeit(f_q, x, tuple(qts), iters=it_q)
+            td = _slope_timeit(f_d, x, tuple(wds), fold="sum", iters=it_q)
             t_q = min(t_q, tq if tq else float("inf"))
             t_d = min(t_d, td if td else float("inf"))
+        if chain:  # slope is per chain of len(ops) matmuls
+            t_q = t_q / n_q if np.isfinite(t_q) else t_q
+            t_d = t_d / n_d if np.isfinite(t_d) else t_d
         entry = {"n_weight_buffers": [n_q, n_d]}
         if not np.isfinite(t_q) or not np.isfinite(t_d):
             entry.update(w4_us=None, w4_gbps=None, dense_gbps=None,
@@ -348,24 +373,32 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
                         max_batch_size=nslots)
     eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg,
                           dtype=jnp.bfloat16)
-    run = lambda: eng.serve(reqs, max_new_tokens=max_new, chunk=chunk)  # noqa: E731
+    stats = {}
+    run = lambda: eng.serve(reqs, max_new_tokens=max_new, chunk=chunk,  # noqa: E731
+                            stats=stats)
     out = run()  # compile warmup
-    t0 = time.perf_counter()
-    out = run()
-    t = time.perf_counter() - t0
+    # best-of-3: serve is one long wall measurement and the chip is shared;
+    # contention only ever adds time (NOTES.md methodology)
+    t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        t = min(t, time.perf_counter() - t0)
     # count what was actually generated (EOS-robust; random-weight models
     # never emit eos_token=-1, but the accounting no longer assumes that)
     n_generated = sum(len(r) for r in out)
-    total_steps = sum(len(r) for r in reqs) // nslots + max_new  # approx
     return {
         "serve_toks_per_s": round(n_generated / t, 1),
         "serve_requests": len(reqs),
         "serve_chunk": chunk,
         "serve_wall_s": round(t, 2),
-        "serve_note": "prompts batch-prefill in right-padded waves with "
+        "serve_note": "combo waves (prefill + decode chunk, one sync) with "
                       "Orca-style decode piggyback; generated-token "
                       "throughput only",
-        "serve_steps_approx": total_steps,
+        "serve_syncs": stats.get("n_combos", 0) + stats.get("n_chunks", 0),
+        "serve_device_steps": stats.get("n_steps", 0),
+        "serve_util": round(n_generated / max(
+            stats.get("n_steps", 1) * nslots, 1), 3),
     }
 
 

@@ -371,6 +371,7 @@ class InferenceEngine:
         top_k: int = 0,
         seed: int = 0,
         chunk: int = 1,
+        stats: Optional[Dict[str, int]] = None,
     ) -> List[List[int]]:
         """Token-level continuous batching over a request queue.
 
@@ -469,6 +470,9 @@ class InferenceEngine:
 
         chunk = max(1, int(chunk))
         prefill_cap = max(8, self.engine_cfg.prefill_chunk)
+        if stats is not None:
+            stats.update(n_combos=0, n_chunks=0, n_steps=0,
+                         n_generated=0, n_prompt_fed=0)
         while queue or any(r >= 0 for r in slot_req):
             # admit queued requests into idle slots (deferred under paging
             # until the pool has a page for the new request's first column)
@@ -544,6 +548,9 @@ class InferenceEngine:
                     )
                 caches = set_lengths(caches, lens_np, valid_np)
                 rng, sub = jax.random.split(rng)
+                if stats is not None:
+                    stats["n_combos"] += 1
+                    stats["n_steps"] += 1 + c  # wave ~= one step + C chunk
                 wave_tok, sampled, caches = _serve_combo(
                     self.params, jnp.asarray(toks_np, jnp.int32),
                     jnp.asarray(valid_np, jnp.int32),
@@ -587,6 +594,9 @@ class InferenceEngine:
                     ensure_pages(np.minimum(lens_np + c - 1, t_max - 1))
                 caches = set_lengths(caches, lens_np)
                 rng, sub = jax.random.split(rng)
+                if stats is not None:
+                    stats["n_chunks"] += 1
+                    stats["n_steps"] += c
                 sampled, caches = _serve_chunk(
                     self.params, toks, jnp.asarray(feed_next, jnp.int32),
                     jnp.asarray(feed_len, jnp.int32),

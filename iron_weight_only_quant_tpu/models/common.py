@@ -248,7 +248,13 @@ def attend(
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,  # e.g. ALiBi [1|B, Hq, S|1, T]
 ) -> jnp.ndarray:
-    """Softmax attention with GQA head expansion, fp32 accumulation."""
+    """Softmax attention with GQA head expansion, fp32 accumulation.
+
+    Stays XLA on purpose: a fused Pallas decode-attention kernel (per-head
+    unrolled M=1 dots, grid over B) measured ~19 us/layer SLOWER than this
+    chain on the v5e (probe_glue.py xla_attn A/B, round 3) -- XLA's batched
+    einsum over [B, H] beats Mosaic's small-matmul unroll at decode shapes,
+    so the kernel was deleted rather than shipped dark."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     if scale is None:

@@ -58,6 +58,50 @@ def make_forward(variant: str, cfg):
             x = x + linear(gate * up, p["down"])
             return x, cache
 
+        if variant == "xla_attn":
+            # force the plain XLA attention chain (attend() now dispatches
+            # to the fused Pallas decode-attention kernel on TPU; this
+            # variant is the A/B control)
+            attn_in = rmsnorm(x, p["input_norm"], cfg.rms_norm_eps)
+            q, k, v = p["qkv"].apply(attn_in)
+            q = q.reshape(b, s, cfg.num_heads, hd)
+            k = k.reshape(b, s, cfg.num_kv_heads, hd)
+            v = v.reshape(b, s, cfg.num_kv_heads, hd)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            cache, k, v = update_and_fetch(cache, k, v)
+            scores = jnp.einsum("bshd,bthd->bhst", q, k.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * hd**-0.5
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype),
+                              v.astype(q.dtype),
+                              preferred_element_type=jnp.float32
+                              ).astype(q.dtype)
+            x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+            mlp_in = rmsnorm(x, p["post_norm"], cfg.rms_norm_eps)
+            gate, up = p["gate_up"].apply(mlp_in)
+            gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + linear(gate * up, p["down"])
+            return x, cache
+
+        if variant == "prenorm_fused_attn":
+            # the full shipped fast path: in-kernel rmsnorm + fused decode
+            # attention (attend() dispatch)
+            q, k, v = p["qkv"].apply(x, pre_norm=cfg.rms_norm_eps)
+            q = q.reshape(b, s, cfg.num_heads, hd)
+            k = k.reshape(b, s, cfg.num_kv_heads, hd)
+            v = v.reshape(b, s, cfg.num_kv_heads, hd)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            cache, k, v = update_and_fetch(cache, k, v)
+            attn = attend(q, k, v, mask)
+            x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+            gate, up = p["gate_up"].apply(x, pre_norm=cfg.rms_norm_eps)
+            gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + linear(gate * up, p["down"])
+            return x, cache
+
         if variant == "bhtd_cache":
             # cache stored [B, H, T, D]: the attention einsums consume it
             # with NO per-step transposition of the whole cache slab
@@ -211,11 +255,19 @@ def main():
     cfg = dataclasses.replace(LlamaConfig.llama2_7b(), num_layers=L)
     spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
     batch = 8
+    # explicit norm weights (gamma=1): most variants apply rmsnorm in XLA;
+    # the "prenorm" variant ignores them (exact, gamma==1)
     params = fuse_llama_projections(
-        build_quantized_llama(cfg, jax.random.PRNGKey(0), spec, jnp.bfloat16))
+        build_quantized_llama(cfg, jax.random.PRNGKey(0), spec, jnp.bfloat16,
+                              prenorm=False))
 
-    variants = ["full", "no_attend", "no_cache", "no_rope", "no_norms",
-                "matmuls_only", "prenorm", "bhtd_cache"]
+    import os
+
+    all_variants = ["full", "no_attend", "no_cache", "no_rope", "no_norms",
+                    "matmuls_only", "prenorm", "bhtd_cache", "xla_attn",
+                    "prenorm_fused_attn"]
+    sel = os.environ.get("GLUE_VARIANTS")
+    variants = sel.split(",") if sel else all_variants
 
     def bhtd_tx(c):
         return c._replace(k=jnp.swapaxes(c.k, 1, 2),
