@@ -490,7 +490,9 @@ def main():
                 scan_note[0] = True
                 print("note: scan mode skips qkv/gate_up fusion "
                       "(stacked views take unfused layers)", file=sys.stderr)
-            return stack_llama_layers(p)  # stacked views take unfused layers
+            # stacked views take unfused layers; consume=True frees each
+            # projection as it stacks (2x-peak-HBM OOM'd the 13B otherwise)
+            return stack_llama_layers(p, consume=True)
         # fused qkv / gate_up packed artifacts (exact column concat): fewer
         # kernel launches and deeper N grids; e2e-measured ~20 us/layer
         # faster at decode (scripts/probe_e2e_tiles.py -- the round-1
@@ -505,26 +507,46 @@ def main():
     # the lm_head alone is ~400 us)
     import dataclasses
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
-    params_w4 = prep(build_quantized_llama(cfg, key, spec, jnp.bfloat16,
-                                       quantize_lm_head=args.qhead,
-                                       packed_sides=args.packed_sides,
-                                       prenorm=not args.no_prenorm))
-    p_w4 = prep(build_quantized_llama(cfg_r, key, spec, jnp.bfloat16,
-                                  quantize_lm_head=args.qhead,
-                                  packed_sides=args.packed_sides,
-                                  prenorm=not args.no_prenorm))
-    p_bf16 = prep(build_quantized_llama(cfg_r, key, None, jnp.bfloat16))
-    pairs = {
-        "full": decode_runner_pair(cfg, params_w4, batch,
-                                   scan_layers=args.scan),
-        "sub_w4": decode_runner_pair(cfg_r, p_w4, batch,
-                                     scan_layers=args.scan),
-        "sub_bf16": decode_runner_pair(cfg_r, p_bf16, batch,
+
+    def build(c, sp):
+        return prep(build_quantized_llama(
+            c, key, sp, jnp.bfloat16,
+            quantize_lm_head=args.qhead and sp is not None,
+            packed_sides=args.packed_sides and sp is not None,
+            prenorm=not args.no_prenorm))
+
+    if args.model == "13b":
+        # three models alive at once exceed HBM at 13B scale: measure
+        # sequentially (accepting window drift on the ratio numbers)
+        params_w4 = build(cfg, spec)
+        t_step = decode_time_per_step(cfg, params_w4, batch,
+                                      scan_layers=args.scan)
+        del params_w4
+        params_w4 = None
+        p_w4 = build(cfg_r, spec)
+        t_w4 = decode_time_per_step(cfg_r, p_w4, batch,
+                                    scan_layers=args.scan)
+        del p_w4
+        p_bf16 = build(cfg_r, None)
+        t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch,
+                                      scan_layers=args.scan)
+        del p_bf16
+    else:
+        params_w4 = build(cfg, spec)
+        p_w4 = build(cfg_r, spec)
+        p_bf16 = build(cfg_r, None)
+        pairs = {
+            "full": decode_runner_pair(cfg, params_w4, batch,
                                        scan_layers=args.scan),
-    }
-    slopes = interleaved_decode_slopes(pairs)
-    t_step, t_w4, t_bf16 = slopes["full"], slopes["sub_w4"], slopes["sub_bf16"]
-    del p_w4, p_bf16, pairs
+            "sub_w4": decode_runner_pair(cfg_r, p_w4, batch,
+                                         scan_layers=args.scan),
+            "sub_bf16": decode_runner_pair(cfg_r, p_bf16, batch,
+                                           scan_layers=args.scan),
+        }
+        slopes = interleaved_decode_slopes(pairs)
+        t_step, t_w4, t_bf16 = (slopes["full"], slopes["sub_w4"],
+                                slopes["sub_bf16"])
+        del p_w4, p_bf16, pairs
     toks_per_s = batch / t_step
     speedup = t_bf16 / t_w4
 

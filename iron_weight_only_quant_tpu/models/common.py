@@ -54,7 +54,8 @@ class StackedLinear:
         self.idx = idx
 
 
-def stack_model_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+def stack_model_layers(params: Dict[str, Any],
+                       consume: bool = False) -> Dict[str, Any]:
     """Stack the per-layer param list into one pytree with leading L axis.
 
     Enables the scan-over-layers forwards: one compiled block body instead of
@@ -62,11 +63,25 @@ def stack_model_layers(params: Dict[str, Any]) -> Dict[str, Any]:
     depth-independent (essential for 70B-class, 80-layer models).  Packed
     ``QuantizedTensor`` leaves stack to ``[L, ...]`` arrays that the
     scalar-prefetch fused kernel indexes in place (no per-step weight copy).
+
+    ``consume=True`` DESTRUCTIVELY pops each projection out of the caller's
+    layer dicts as it is stacked, so the per-layer buffers free leaf-by-leaf
+    instead of coexisting with the full stacked copy -- without it, peak
+    HBM is 2x the model (the 13B-shape scan bench OOM'd a 16 GB chip).
     """
     layers = params["layers"]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    return {**{k: v for k, v in params.items() if k != "layers"},
-            "layers_stacked": stacked}
+    if not consume:
+        layers = [dict(l) for l in layers]
+    stacked = {}
+    for key in list(layers[0].keys()):
+        vals = [l.pop(key) for l in layers]
+        stacked[key] = jax.tree.map(lambda *xs: jnp.stack(xs), *vals)
+        del vals
+    out = {k: v for k, v in params.items() if k != "layers"}
+    if consume:
+        params.pop("layers", None)
+    out["layers_stacked"] = stacked
+    return out
 
 
 @struct.dataclass

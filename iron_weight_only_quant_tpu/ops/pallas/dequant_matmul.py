@@ -951,12 +951,24 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
     # buffered; leave room for acc/scales/output
     per_row = tn + slabs * tm * 2
     budget_rows = (10 * 1024 * 1024) // (2 * per_row)
-    tpk = base
+    # prefer tpk in [256, 2048], the e2e-validated sweet spot: 13B-shape
+    # kp=6912 otherwise planned tpk=6912/tn=256 tiles (rs=54, narrow
+    # strided DMA; the scan bench read 3.3x the weight-stream floor).  But
+    # only when such a divisor EXISTS: 7B-shape kp=5504 = 128*43 offers
+    # nothing between 128 and 5504, and forcing 128 regressed the 7B
+    # headline 186 -> 235 us/layer -- keep the uncapped pick there.
+    limit = min(kp, budget_rows)
+    cap = min(limit, max(base, 2048))
+    tpk = tpk_capped = base
     cand = base
-    while cand <= min(kp, budget_rows):
+    while cand <= limit:
         if kp % cand == 0:
             tpk = cand
+            if cand <= cap:
+                tpk_capped = cand
         cand += base
+    if tpk_capped >= 256:
+        tpk = tpk_capped
     rs = max(1, tpk // g) if g is not None else 1
     g_target = tpk // rs
     return tpk, rs, g_target
