@@ -69,13 +69,37 @@ def stack_model_layers(params: Dict[str, Any],
     instead of coexisting with the full stacked copy -- without it, peak
     HBM is 2x the model (the 13B-shape scan bench OOM'd a 16 GB chip).
     """
+    def pad_sides(v):
+        # pre-pad grouped side-info rows to a sublane multiple ONCE here:
+        # the stacked kernels need per-layer side blocks with row counts
+        # divisible by 8, and padding per-call made XLA copy the whole
+        # [L, rows, N] side arrays every layer of every step (the round-3
+        # scan-gap finding, ~100 us/layer at 7B depth).  Affine 4/8-bit
+        # only (the formats whose stacked kernels read these directly).
+        if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
+            return v
+        qt = v["w"]
+        rows = qt.scales.shape[1]
+        if (qt.qweight.ndim != 3 or qt.mode != "affine"
+                or qt.spec.storage_bits not in (4, 8)
+                or qt.side_pad or rows <= 1 or rows % 8 == 0
+                or qt.zeros is None or qt.zeros.shape[1] != rows):
+            return v
+        pad = 8 - rows % 8
+        pr = lambda a: None if a is None else jnp.pad(
+            a, ((0, 0), (0, pad), (0, 0)))
+        return {**v, "w": qt.replace(
+            scales=pr(qt.scales), zeros=pr(qt.zeros),
+            side_packed=pr(qt.side_packed), side_pad=pad)}
+
     layers = params["layers"]
     if not consume:
         layers = [dict(l) for l in layers]
     stacked = {}
     for key in list(layers[0].keys()):
         vals = [l.pop(key) for l in layers]
-        stacked[key] = jax.tree.map(lambda *xs: jnp.stack(xs), *vals)
+        stacked[key] = pad_sides(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *vals))
         del vals
     out = {k: v for k, v in params.items() if k != "layers"}
     if consume:

@@ -907,7 +907,8 @@ def a16_supported(qt: QuantizedTensor) -> bool:
 
 def kernel_supported_stacked(qt: QuantizedTensor) -> bool:
     """Supported-check for a layer-stacked artifact ([L, ...] arrays)."""
-    return qt.qweight.ndim == 3 and _layout_supported(qt, qt.scales.shape[1])
+    return qt.qweight.ndim == 3 and _layout_supported(
+        qt, qt.scales.shape[1] - qt.side_pad)
 
 
 def _normalize_side(side: jnp.ndarray, k: int, n: int, g_target: int,
@@ -1472,7 +1473,8 @@ def fused_quantized_matmul_stacked(
         x2 = _pad_x_k(x2, qt.k_pad)
         k = k + qt.k_pad
 
-    rows = qt.scales.shape[1]
+    sp = qt.side_pad
+    rows = qt.scales.shape[1] - sp
     if bits == 3:
         out = _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
                          layer_idx=layer_idx)
@@ -1485,25 +1487,36 @@ def fused_quantized_matmul_stacked(
     tn, tpk, rs, g_target = _plan_tiles(n, kp, k, rows, tm,
                                         slabs=2 if bits == 4 else 1)
     nk = kp // tpk
-    scales = _normalize_side(qt.scales, k, n, g_target, axis=1)
     has_z = qt.zeros is not None
-    zeros = _normalize_side(qt.zeros if has_z else qt.scales, k, n, g_target,
-                            axis=1)
-    srows = scales.shape[1]
 
     # layers fold into rows: block row l*nk + kk of the flattened array is
     # exactly tile kk of layer l (kp % tpk == 0 keeps layers tile-aligned).
-    # Side-info rows pad to a sublane multiple per layer (Mosaic requires
+    # Side-info rows must be a sublane multiple per layer (Mosaic requires
     # block dims divisible by 8 unless equal to the full extent); the kernel
     # only ever indexes the first ``srows`` rows of each layer's block.
+    # Stack-time padded artifacts (qt.side_pad, stack_model_layers) take the
+    # ZERO-COPY path -- padding here, per call, made XLA copy the whole
+    # [L, rows, N] side arrays every layer of every decode step (the 7B
+    # scan ran at 356 us/layer vs 223 without the pad; round-3 NOTES).
     qw2 = qt.qweight.reshape(-1, qt.qweight.shape[-1])
-    srows_p = _ceil_to(srows, 8)
-    if srows_p != srows:
-        pad = ((0, 0), (0, srows_p - srows), (0, 0))
-        scales = jnp.pad(scales, pad)
-        zeros = jnp.pad(zeros, pad)
-    scales2 = scales.reshape(-1, scales.shape[-1])
-    zeros2 = zeros.reshape(-1, zeros.shape[-1])
+    if sp and k // g_target == rows:
+        srows, srows_p = rows, rows + sp
+        scales2 = qt.scales.reshape(-1, qt.scales.shape[-1])
+        zeros2 = qt.zeros.reshape(-1, qt.zeros.shape[-1])
+    else:
+        scales = _normalize_side(qt.scales[:, :rows] if sp else qt.scales,
+                                 k, n, g_target, axis=1)
+        zsrc = qt.zeros if has_z else qt.scales
+        zeros = _normalize_side(zsrc[:, :rows] if sp else zsrc,
+                                k, n, g_target, axis=1)
+        srows = scales.shape[1]
+        srows_p = _ceil_to(srows, 8)
+        if srows_p != srows:
+            pad = ((0, 0), (0, srows_p - srows), (0, 0))
+            scales = jnp.pad(scales, pad)
+            zeros = jnp.pad(zeros, pad)
+        scales2 = scales.reshape(-1, scales.shape[-1])
+        zeros2 = zeros.reshape(-1, zeros.shape[-1])
 
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     grid = (m_pad // tm, n // tn, nk)

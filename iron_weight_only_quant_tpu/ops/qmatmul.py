@@ -37,7 +37,12 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
         qt.qweight, packed_bits(qt), qt.k_stored, qt.k_shards
     )
     k = qt.k_stored
-    scales = qt.scales.astype(jnp.float32)
+    scales, zeros_arr = qt.scales, qt.zeros
+    if qt.side_pad:  # stack-time sublane padding (see stack_model_layers)
+        scales = scales[: scales.shape[0] - qt.side_pad]
+        if zeros_arr is not None and zeros_arr.shape[0] == scales.shape[0] + qt.side_pad:
+            zeros_arr = zeros_arr[: scales.shape[0]]
+    scales = scales.astype(jnp.float32)
     # broadcast per-group side info over K: [K/G, N] -> [K, N]
     def expand(side):
         if side.shape[0] == 1:
@@ -46,14 +51,15 @@ def dequantize_weight(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.repeat(side, g, axis=0)
 
     if qt.mode == "affine":
-        zeros = expand(qt.zeros.astype(jnp.float32)) if qt.zeros is not None else 0.0
+        zeros = (expand(zeros_arr.astype(jnp.float32))
+                 if zeros_arr is not None else 0.0)
         w = (codes.astype(jnp.float32) - zeros) * expand(scales)
     else:  # lut
         if packed_bits(qt) == 8:
             codes = codes + 128  # byte layout stores code-128 (packing.py)
         w = qt.codebook[codes] * expand(scales)
-        if qt.zeros is not None:
-            w = w + expand(qt.zeros.astype(jnp.float32))
+        if zeros_arr is not None:
+            w = w + expand(zeros_arr.astype(jnp.float32))
     if qt.k_pad:
         w = w[: qt.k]
     if qt.n_pad:

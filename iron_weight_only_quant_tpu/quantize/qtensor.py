@@ -62,6 +62,14 @@ class QuantizedTensor:
     # rounds the f32 scales/zeros to the same bf16 values so every path
     # dequantizes identically.
     side_packed: Optional[jnp.ndarray] = None
+    # zero-padding of the side-info ROW dim (scales/zeros leading axis) to a
+    # sublane multiple, applied ONCE at layer-stack time: the stacked
+    # (scalar-prefetch) kernels need per-layer side blocks with row counts
+    # divisible by 8, and padding inside the per-call path made XLA copy
+    # the whole [L, rows, N] side arrays EVERY layer of EVERY decode step
+    # (~100 us/layer at 7B depth -- the round-3 scan-gap finding).
+    # Consumers slice the padded rows off: logical rows = shape - side_pad.
+    side_pad: int = struct.field(pytree_node=False, default=0)
 
     @property
     def k(self) -> int:
