@@ -25,7 +25,7 @@ import numpy as np
 
 
 def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
-                          packed_sides=False, prenorm=True):
+                          prenorm=True):
     """Random-init directly on device, quantizing each linear as it is made
     (avoids materializing the dense 7B model or host->device transfers).
 
@@ -56,14 +56,11 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
             w = jax.random.normal(k, (kin, kout), dtype) * scale
             return {"w": w, "b": None}
         if (kin, kout, scale) not in fn_cache:
-            from iron_weight_only_quant_tpu.quantize.rtn import with_packed_sides
-
             def make(kk, _kin=kin, _kout=kout, _s=scale):
-                qt = quantize_tensor(
+                return quantize_tensor(
                     jax.random.normal(kk, (_kin, _kout), jnp.float32) * _s,
                     spec, pad_n_to=512,
                 )
-                return with_packed_sides(qt) if packed_sides else qt
 
             fn_cache[(kin, kout, scale)] = jax.jit(make)
         return {"w": fn_cache[(kin, kout, scale)](k), "b": None}
@@ -409,8 +406,6 @@ def main():
                     help="scan-over-layers forward (fast compile, slower decode)")
     ap.add_argument("--qhead", action="store_true",
                     help="quantize the lm_head too (reference always skips it)")
-    ap.add_argument("--packed_sides", action="store_true",
-                    help="bf16-pair side info packed into one int32 array")
     ap.add_argument("--no_serve", action="store_true",
                     help="skip the continuous-batching serve measurement")
     ap.add_argument("--no_fuse", action="store_true",
@@ -512,7 +507,6 @@ def main():
         return prep(build_quantized_llama(
             c, key, sp, jnp.bfloat16,
             quantize_lm_head=args.qhead and sp is not None,
-            packed_sides=args.packed_sides and sp is not None,
             prenorm=not args.no_prenorm))
 
     if args.model == "13b":

@@ -65,12 +65,28 @@ def _decode_step(params, tok, positions, mask, caches, rng, forward, cfg,
     return nxt, caches
 
 
+def _stamp(caches, lens, valid, page_table):
+    """Set per-slot lengths/valid/page-table on every cache view INSIDE the
+    jitted program: one host->device transfer per array per sync, instead
+    of fresh per-layer copies on the host (~100 tiny eager transfers per
+    sync through the tunnel -- they measured as ~half the serve wall)."""
+    out = []
+    for c in caches:
+        upd = {"length": lens, "valid": valid}
+        if page_table is not None:
+            upd["page_table"] = page_table
+        out.append(c._replace(**upd) if hasattr(c, "_replace")
+                   else c.replace(**upd))
+    return out
+
+
 @partial(jax.jit,
          static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
                           "abits"),
          donate_argnames=("caches",))
-def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
-                 forward, cfg, temperature, top_k, t_max, abits=None):
+def _serve_chunk(params, tok0, feed_next, feed_len, lens0, page_table,
+                 caches, rng, forward, cfg, temperature, top_k, t_max,
+                 abits=None):
     """C decode steps device-side between host syncs (continuous batching).
 
     Per step, each slot's next input is its queued prompt token while its
@@ -82,6 +98,7 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
     """
     from ..ops.qmatmul import activation_quant
 
+    caches = _stamp(caches, lens0, None, page_table)
     cols = jnp.arange(t_max)
     c = feed_next.shape[1]
 
@@ -111,8 +128,8 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, caches, rng,
                           "abits"),
          donate_argnames=("caches",))
 def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
-                 feed_len, caches, rng, forward, cfg, temperature, top_k,
-                 t_max, abits=None):
+                 feed_len, page_table, caches, rng, forward, cfg, temperature,
+                 top_k, t_max, abits=None):
     """One prefill wave + C decode steps, device-side (ONE host sync).
 
     The wave feeds each slot's pending prompt tokens ([B, S] right-padded,
@@ -131,6 +148,7 @@ def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
     """
     from ..ops.qmatmul import activation_quant
 
+    caches = _stamp(caches, lens0, n_valid, page_table)
     cols = jnp.arange(t_max)
     s = toks.shape[1]
     lens_c = jnp.minimum(lens0, t_max - 1)
@@ -453,21 +471,6 @@ class InferenceEngine:
                     table_np[s, len(slot_pages[s])] = pg
                     slot_pages[s].append(pg)
 
-        def set_lengths(caches, lens_np, valid_np=None):
-            out = []
-            for c in caches:
-                # fresh array per layer: the decode step donates its inputs
-                # and a shared buffer may not be donated twice
-                lens = jnp.asarray(lens_np, jnp.int32)
-                upd = {"length": lens}
-                upd["valid"] = (None if valid_np is None
-                                else jnp.asarray(valid_np, jnp.int32))
-                if paged:
-                    upd["page_table"] = jnp.asarray(table_np)
-                out.append(c._replace(**upd) if hasattr(c, "_replace")
-                           else c.replace(**upd))
-            return out
-
         chunk = max(1, int(chunk))
         prefill_cap = max(8, self.engine_cfg.prefill_chunk)
         if stats is not None:
@@ -546,7 +549,7 @@ class InferenceEngine:
                         np.minimum(lens_np + np.maximum(valid_np, 1) - 1 + c,
                                    t_max - 1)
                     )
-                caches = set_lengths(caches, lens_np, valid_np)
+                pt = jnp.asarray(table_np) if paged else None
                 rng, sub = jax.random.split(rng)
                 if stats is not None:
                     stats["n_combos"] += 1
@@ -557,7 +560,7 @@ class InferenceEngine:
                     jnp.asarray(lens_np, jnp.int32),
                     jnp.asarray(tok_src), jnp.asarray(tok0_else, jnp.int32),
                     jnp.asarray(feed_next, jnp.int32),
-                    jnp.asarray(feed_len, jnp.int32), caches, sub,
+                    jnp.asarray(feed_len, jnp.int32), pt, caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
                     self.engine_cfg.activation_bits,
                 )
@@ -592,7 +595,7 @@ class InferenceEngine:
                 lens_np = np.minimum(slot_len, t_max - 1)
                 if paged:
                     ensure_pages(np.minimum(lens_np + c - 1, t_max - 1))
-                caches = set_lengths(caches, lens_np)
+                pt = jnp.asarray(table_np) if paged else None
                 rng, sub = jax.random.split(rng)
                 if stats is not None:
                     stats["n_chunks"] += 1
@@ -600,7 +603,7 @@ class InferenceEngine:
                 sampled, caches = _serve_chunk(
                     self.params, toks, jnp.asarray(feed_next, jnp.int32),
                     jnp.asarray(feed_len, jnp.int32),
-                    jnp.asarray(lens_np, jnp.int32), caches, sub,
+                    jnp.asarray(lens_np, jnp.int32), pt, caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
                     self.engine_cfg.activation_bits,
                 )

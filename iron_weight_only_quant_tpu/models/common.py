@@ -89,8 +89,7 @@ def stack_model_layers(params: Dict[str, Any],
         pr = lambda a: None if a is None else jnp.pad(
             a, ((0, 0), (0, pad), (0, 0)))
         return {**v, "w": qt.replace(
-            scales=pr(qt.scales), zeros=pr(qt.zeros),
-            side_packed=pr(qt.side_packed), side_pad=pad)}
+            scales=pr(qt.scales), zeros=pr(qt.zeros), side_pad=pad)}
 
     layers = params["layers"]
     if not consume:

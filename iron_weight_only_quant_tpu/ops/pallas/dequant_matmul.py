@@ -196,22 +196,6 @@ def _flat_sz(s_ref, z_ref, srow):
     return lambda r: (s_ref[pl.ds(srow + r, 1), :], z_ref[pl.ds(srow + r, 1), :])
 
 
-def _packed_sz(sz_ref, srow):
-    """Side loader for the int32 (bf16 zero | bf16 scale) packed layout.
-
-    One 32-bit row load per group (same sublane alignment as the f32 side
-    loads -- Mosaic rejects 16-bit single-row dynamic loads), then an
-    in-register split: f32 bits of a bf16 are its bits << 16.
-    """
-    def load(r):
-        row = sz_ref[pl.ds(srow + r, 1), :]
-        s = jax.lax.bitcast_convert_type(row << 16, jnp.float32)
-        z = jax.lax.bitcast_convert_type(row & jnp.int32(-65536), jnp.float32)
-        return s, z
-
-    return load
-
-
 def _int4_body(x_lo_ref, x_hi_ref, qw_ref, sz_lo, sz_hi, o_ref, acc_ref,
                out_dtype, rs):
     @pl.when(pl.program_id(2) == 0)
@@ -244,15 +228,6 @@ def _int4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
     _int4_body(x_lo_ref, x_hi_ref, qw_ref,
                _flat_sz(s_ref, z_ref, kk * rs),
                _flat_sz(s_ref, z_ref, (nk + kk) * rs),
-               o_ref, acc_ref, out_dtype, rs)
-
-
-def _int4_kernel_packed(x_lo_ref, x_hi_ref, qw_ref, sz_ref, o_ref, acc_ref,
-                        *, rs: int, nk: int, out_dtype):
-    kk = pl.program_id(2)
-    _int4_body(x_lo_ref, x_hi_ref, qw_ref,
-               _packed_sz(sz_ref, kk * rs),
-               _packed_sz(sz_ref, (nk + kk) * rs),
                o_ref, acc_ref, out_dtype, rs)
 
 
@@ -769,13 +744,6 @@ def _int8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
                acc_ref, out_dtype, rs)
 
 
-def _int8_kernel_packed(x_ref, qw_ref, sz_ref, o_ref, acc_ref,
-                        *, rs: int, out_dtype):
-    kk = pl.program_id(2)
-    _int8_body(x_ref, qw_ref, _packed_sz(sz_ref, kk * rs), o_ref,
-               acc_ref, out_dtype, rs)
-
-
 def _plan_tiles3(n: int, k: int, rows: int, tm: int, stacked: bool = False):
     """(tn, tpb, rsa, rsb, g_target) for the s21 3-bit kernel.
 
@@ -867,11 +835,9 @@ def _layout_supported(qt: QuantizedTensor, rows: int) -> bool:
         return False
     bits = _storage_layout_bits(qt)
     if bits == 3:
-        return (qt.side_packed is None
-                and _layout3_supported(qt, rows,
-                                       stacked=qt.qweight.ndim == 3))
+        return _layout3_supported(qt, rows, stacked=qt.qweight.ndim == 3)
     if bits == 6:
-        return qt.side_packed is None and _layout6_supported(qt, rows)
+        return _layout6_supported(qt, rows)
     if bits not in (4, 8):
         return False
     k, n = qt.shape
@@ -1170,8 +1136,7 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
 def prenorm_supported(qt: QuantizedTensor) -> bool:
     """Whether the in-kernel rmsnorm (pre_norm) path exists for this
     artifact (affine int4/int8 kernels, flat or stacked)."""
-    return (qt.mode == "affine" and _storage_layout_bits(qt) in (4, 8)
-            and qt.side_packed is None)
+    return qt.mode == "affine" and _storage_layout_bits(qt) in (4, 8)
 
 
 def _rms_nogamma(x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -1276,18 +1241,8 @@ def fused_quantized_matmul(
     common = _common_params(tm, tn, m_pad, n, k, kp, srows, out_dtype, interpret)
     side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
 
-    # packed sides win where K-tiles are large (4096-K decode shapes: +14-21%
-    # measured, scripts/probe_side_dtype.py) but lose ~9% on small-tile K
-    # (11008 -> tpk=128, 43 grid steps); the artifact keeps the f32 arrays,
-    # so pick per shape
-    packed = (qt.side_packed is not None and tpk >= 256 and not lut
-              and activation_bits != 16 and pre_norm is None)
-    if packed:
-        side_ops = [_normalize_side(qt.side_packed, k, n, g_target)]
-        side_specs = [side_spec]
-    else:
-        side_ops = [scales, zeros]
-        side_specs = [side_spec, side_spec]
+    side_ops = [scales, zeros]
+    side_specs = [side_spec, side_spec]
 
     if lut:
         fmt = qt.spec.float_format
@@ -1360,8 +1315,8 @@ def fused_quantized_matmul(
                 **common,
             )(xa, xa, xb, xb, qt.qweight, *side_ops)
         else:
-            kfn = _int4_kernel_packed if packed else _int4_kernel
-            kernel = functools.partial(kfn, rs=rs, nk=nk, out_dtype=out_dtype)
+            kernel = functools.partial(_int4_kernel, rs=rs, nk=nk,
+                                       out_dtype=out_dtype)
             out = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -1380,8 +1335,8 @@ def fused_quantized_matmul(
                 **common,
             )(xa, xb, qt.qweight, *side_ops)
         else:
-            kfn = _int8_kernel_packed if packed else _int8_kernel
-            kernel = functools.partial(kfn, rs=rs, out_dtype=out_dtype)
+            kernel = functools.partial(_int8_kernel, rs=rs,
+                                       out_dtype=out_dtype)
             out = pl.pallas_call(
                 kernel,
                 grid=grid,

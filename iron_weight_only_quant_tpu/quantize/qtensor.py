@@ -55,13 +55,6 @@ class QuantizedTensor:
     # tiles).  Exact: padded groups see only the kernel's zero-padded x rows,
     # so they contribute exactly 0.  ``shape`` stays logical.
     k_pad: int = struct.field(pytree_node=False, default=0)
-    # optional int32 [K/G, N] with (bf16 zero | bf16 scale) bit-packed per
-    # lane: the fused kernel reads ONE 32-bit side row per group (f32-load
-    # alignment, one DMA stream instead of two, half the side bytes) and
-    # splits in-register.  Built by :func:`rtn.with_packed_sides`, which also
-    # rounds the f32 scales/zeros to the same bf16 values so every path
-    # dequantizes identically.
-    side_packed: Optional[jnp.ndarray] = None
     # zero-padding of the side-info ROW dim (scales/zeros leading axis) to a
     # sublane multiple, applied ONCE at layer-stack time: the stacked
     # (scalar-prefetch) kernels need per-layer side blocks with row counts
@@ -134,8 +127,7 @@ def concat_n(qts) -> "QuantizedTensor":
                 or qt.shape[0] != first.shape[0] or qt.k_shards != first.k_shards
                 or qt.k_pad != first.k_pad
                 or qt.scales.shape[0] != first.scales.shape[0]
-                or (qt.zeros is None) != (first.zeros is None)
-                or (qt.side_packed is None) != (first.side_packed is None)):
+                or (qt.zeros is None) != (first.zeros is None)):
             raise ValueError("concat_n: incompatible artifacts")
         # spec equality implies equal codebooks today, but guard anyway: two
         # LUT members with different codebooks would silently dequantize the
@@ -159,8 +151,6 @@ def concat_n(qts) -> "QuantizedTensor":
         k_shards=first.k_shards,
         n_pad=0,
         k_pad=first.k_pad,
-        side_packed=None if first.side_packed is None
-        else jnp.concatenate([qt.side_packed for qt in qts], axis=-1),
     )
 
 

@@ -35,32 +35,6 @@ def _kernel_layout(per_group_col: jnp.ndarray, k: int, n: int, group_size: int) 
     return per_group_col.reshape(n, kg).T
 
 
-def with_packed_sides(qt: QuantizedTensor) -> QuantizedTensor:
-    """Bit-pack (bf16 zero << 16 | bf16 scale) into one int32 side array.
-
-    The fused kernel then streams a single 32-bit side row per group --
-    half the side-info HBM bytes of the two f32 arrays (~12% of total W4
-    traffic at g128) and one fewer DMA stream -- and splits it in-register
-    (32-bit vector shifts are cheap on the VPU; bf16 -> f32 is ``bits <<
-    16``).  Scales/zeros are *also* rounded to the same bf16 values in
-    their f32 arrays so the XLA path and the kernel stay bit-identical.
-    Affine artifacts only.
-    """
-    if qt.mode != "affine":
-        raise NotImplementedError("packed sides require an affine artifact")
-    s32 = qt.scales.astype(jnp.bfloat16)
-    z = qt.zeros if qt.zeros is not None else jnp.zeros((1, 1), jnp.float32)
-    z32 = jnp.broadcast_to(z, qt.scales.shape).astype(jnp.bfloat16)
-    s_bits = jax.lax.bitcast_convert_type(s32, jnp.uint16).astype(jnp.int32)
-    z_bits = jax.lax.bitcast_convert_type(z32, jnp.uint16).astype(jnp.int32)
-    packed = (z_bits << 16) | s_bits
-    return qt.replace(
-        scales=s32.astype(jnp.float32),
-        zeros=z32.astype(jnp.float32),
-        side_packed=packed,
-    )
-
-
 def native_quantize_tensor(
     w, spec: QuantSpec, pad_n_to: int = 1
 ) -> Optional[QuantizedTensor]:

@@ -262,47 +262,6 @@ def test_16bit_side_info(weight, side_dtype):
     assert rel < 5e-3, rel
 
 
-@pytest.mark.parametrize(
-    "spec", [
-        QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False),
-        QuantSpec(fmt="int", bits=4, group_size=128, symmetric=True),
-        QuantSpec(fmt="int", bits=4, group_size=PER_CHANNEL, symmetric=False),
-        QuantSpec(fmt="int", bits=8, group_size=128, symmetric=False),
-    ],
-    ids=lambda s: f"{s.fmt}{s.storage_bits}g{s.group_size}{'s' if s.symmetric else 'u'}",
-)
-@pytest.mark.parametrize("m", [1, 8])
-def test_packed_sides_match_xla(weight, spec, m):
-    """int32 (bf16 z | bf16 s) side layout: kernel == XLA on the same
-    artifact (with_packed_sides rounds the f32 arrays to the identical
-    bf16 values, so the two paths must agree to fp tolerance)."""
-    from iron_weight_only_quant_tpu.quantize.rtn import with_packed_sides
-
-    rng = np.random.default_rng(11)
-    qt = with_packed_sides(quantize_tensor(weight, spec))
-    assert qt.side_packed is not None
-    assert qt.side_packed.dtype == jnp.int32
-    assert kernel_supported(qt)
-    x = jnp.asarray(rng.normal(size=(m, 512)).astype(np.float32))
-    y_ref = x @ dequantize_weight(qt)
-    y = fused_quantized_matmul(x, qt, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               rtol=2e-5, atol=2e-4)
-
-
-def test_packed_sides_bf16_roundtrip(weight):
-    """The packed int32 bits decode to exactly the stored f32 scales/zeros."""
-    from iron_weight_only_quant_tpu.quantize.rtn import with_packed_sides
-
-    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
-    qt = with_packed_sides(quantize_tensor(weight, spec))
-    bits = np.asarray(qt.side_packed).astype(np.uint32)
-    s = ((bits & 0xFFFF) << 16).view(np.float32)
-    z = (bits & 0xFFFF0000).view(np.float32)
-    np.testing.assert_array_equal(s, np.asarray(qt.scales))
-    np.testing.assert_array_equal(z, np.broadcast_to(np.asarray(qt.zeros), s.shape))
-
-
 class TestPrenormKernel:
     """In-kernel weightless rmsnorm (folded-gamma pre_norm): y must equal
     rmsnorm(x) @ dequant(W) -- r scales the epilogue, exact by linearity."""
