@@ -384,14 +384,19 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
     # count what was actually generated (EOS-robust; random-weight models
     # never emit eos_token=-1, but the accounting no longer assumes that)
     n_generated = sum(len(r) for r in out)
+    n_prompt = sum(len(r) for r in reqs)
     return {
         "serve_toks_per_s": round(n_generated / t, 1),
+        "serve_total_toks_per_s": round((n_generated + n_prompt) / t, 1),
         "serve_requests": len(reqs),
         "serve_chunk": chunk,
         "serve_wall_s": round(t, 2),
         "serve_note": "combo waves (prefill + decode chunk, one sync) with "
-                      "Orca-style decode piggyback; generated-token "
-                      "throughput only",
+                      "Orca-style decode piggyback; serve_toks_per_s counts "
+                      "GENERATED tokens only, so its ceiling at the static "
+                      "decode rate is generated/(generated+prompt) of that "
+                      "rate -- serve_util (real tokens / slot-steps) is the "
+                      "scheduling-quality metric",
         "serve_syncs": stats.get("n_combos", 0) + stats.get("n_chunks", 0),
         "serve_device_steps": stats.get("n_steps", 0),
         "serve_util": round(n_generated / max(

@@ -82,11 +82,10 @@ def _stamp(caches, lens, valid, page_table):
 
 @partial(jax.jit,
          static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
-                          "abits"),
+                          "c", "abits"),
          donate_argnames=("caches",))
-def _serve_chunk(params, tok0, feed_next, feed_len, lens0, page_table,
-                 caches, rng, forward, cfg, temperature, top_k, t_max,
-                 abits=None):
+def _serve_chunk(params, meta, page_table, caches, rng, forward, cfg,
+                 temperature, top_k, t_max, c, abits=None):
     """C decode steps device-side between host syncs (continuous batching).
 
     Per step, each slot's next input is its queued prompt token while its
@@ -95,12 +94,21 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, page_table,
     bookkeeping, so one host round-trip (the dominant cost through a
     tunneled chip, ~25 ms) now advances C tokens.  Returns the [B, C]
     sampled tokens; the host decides which are real outputs.
+
+    ``meta`` packs [tok0 | feed_next.ravel | feed_len | lens0] into ONE
+    int32 vector: each eager host->device transfer has real latency through
+    a tunneled chip, and per-array inputs measured as a large share of the
+    serve wall (NOTES round 3).
     """
     from ..ops.qmatmul import activation_quant
 
+    ns = meta.shape[0] // (c + 3)
+    tok0 = meta[:ns][:, None]
+    feed_next = meta[ns : ns + ns * c].reshape(ns, c)
+    feed_len = meta[ns + ns * c : 2 * ns + ns * c]
+    lens0 = meta[2 * ns + ns * c :]
     caches = _stamp(caches, lens0, None, page_table)
     cols = jnp.arange(t_max)
-    c = feed_next.shape[1]
 
     def step(carry, inp):
         tok, caches, lens, rng = carry
@@ -125,11 +133,10 @@ def _serve_chunk(params, tok0, feed_next, feed_len, lens0, page_table,
 
 @partial(jax.jit,
          static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
-                          "abits"),
+                          "s_len", "c", "abits"),
          donate_argnames=("caches",))
-def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
-                 feed_len, page_table, caches, rng, forward, cfg, temperature,
-                 top_k, t_max, abits=None):
+def _serve_combo(params, meta, page_table, caches, rng, forward, cfg,
+                 temperature, top_k, t_max, s_len, c, abits=None):
     """One prefill wave + C decode steps, device-side (ONE host sync).
 
     The wave feeds each slot's pending prompt tokens ([B, S] right-padded,
@@ -144,9 +151,29 @@ def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
     tunneled chip -- and on any deployment it serializes the device against
     the host scheduler.
 
-    Returns (wave_sample [B], chunk_sampled [B, C], caches).
+    ``meta`` packs [toks.ravel | n_valid | lens0 | tok_src | tok0_else |
+    feed_next.ravel | feed_len] into ONE int32 vector (one host->device
+    transfer per sync instead of eight), and the wave sample rides as
+    column 0 of the returned [B, 1 + C] array (one device->host fetch).
     """
     from ..ops.qmatmul import activation_quant
+
+    ns = meta.shape[0] // (s_len + c + 5)
+    off = 0
+
+    def take(count):
+        nonlocal off
+        v = meta[off : off + count]
+        off += count
+        return v
+
+    toks = take(ns * s_len).reshape(ns, s_len)
+    n_valid = take(ns)
+    lens0 = take(ns)
+    tok_src = take(ns) != 0
+    tok0_else = take(ns)
+    feed_next = take(ns * c).reshape(ns, c)
+    feed_len = take(ns)
 
     caches = _stamp(caches, lens0, n_valid, page_table)
     cols = jnp.arange(t_max)
@@ -169,8 +196,6 @@ def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
               else c.replace(valid=None) for c in caches]
     tok0 = jnp.where(tok_src, wave_tok, tok0_else)[:, None]
 
-    c = feed_next.shape[1]
-
     def step(carry, inp):
         tok, caches, lens, rng = carry
         i, feed_col = inp
@@ -189,7 +214,9 @@ def _serve_combo(params, toks, n_valid, lens0, tok_src, tok0_else, feed_next,
         step, (tok0, caches, lens1, rng),
         (jnp.arange(c), jnp.swapaxes(feed_next, 0, 1)),
     )
-    return wave_tok, jnp.swapaxes(sampled, 0, 1), caches
+    out = jnp.concatenate([wave_tok[:, None], jnp.swapaxes(sampled, 0, 1)],
+                          axis=1)
+    return out, caches
 
 
 class InferenceEngine:
@@ -554,20 +581,21 @@ class InferenceEngine:
                 if stats is not None:
                     stats["n_combos"] += 1
                     stats["n_steps"] += 1 + c  # wave ~= one step + C chunk
-                wave_tok, sampled, caches = _serve_combo(
-                    self.params, jnp.asarray(toks_np, jnp.int32),
-                    jnp.asarray(valid_np, jnp.int32),
-                    jnp.asarray(lens_np, jnp.int32),
-                    jnp.asarray(tok_src), jnp.asarray(tok0_else, jnp.int32),
-                    jnp.asarray(feed_next, jnp.int32),
-                    jnp.asarray(feed_len, jnp.int32), pt, caches, sub,
+                meta = np.concatenate([
+                    toks_np.ravel(), valid_np, lens_np,
+                    tok_src.astype(np.int64), tok0_else,
+                    feed_next.ravel(), feed_len,
+                ]).astype(np.int32)
+                out, caches = _serve_combo(
+                    self.params, jnp.asarray(meta), pt, caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
-                    self.engine_cfg.activation_bits,
+                    sbkt, c, self.engine_cfg.activation_bits,
                 )
+                out_np = np.asarray(out)
+                wave_np, sampled = out_np[:, 0], out_np[:, 1:]
                 # device advanced every slot by valid + c; releases below
                 # reset their slots to 0 (admit() also resets)
                 slot_len += valid_np + c
-                wave_np = np.asarray(wave_tok)
                 for s in range(nslots):
                     if valid_np[s] <= 0:
                         continue
@@ -585,7 +613,6 @@ class InferenceEngine:
                         pending_tok[s] = tok
             else:
                 # ---- pure decode: prompts all fed, no wave needed
-                toks = jnp.asarray(pending_tok, jnp.int32)[:, None]
                 feed_next = np.zeros((nslots, c), np.int64)
                 feed_len = np.zeros(nslots, np.int64)
                 # this chunk's tokens are written at the slot's own columns;
@@ -600,15 +627,16 @@ class InferenceEngine:
                 if stats is not None:
                     stats["n_chunks"] += 1
                     stats["n_steps"] += c
+                meta = np.concatenate([
+                    pending_tok, feed_next.ravel(), feed_len, lens_np,
+                ]).astype(np.int32)
                 sampled, caches = _serve_chunk(
-                    self.params, toks, jnp.asarray(feed_next, jnp.int32),
-                    jnp.asarray(feed_len, jnp.int32),
-                    jnp.asarray(lens_np, jnp.int32), pt, caches, sub,
+                    self.params, jnp.asarray(meta), pt, caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
-                    self.engine_cfg.activation_bits,
+                    c, self.engine_cfg.activation_bits,
                 )
+                sampled = np.asarray(sampled)
                 slot_len += c
-            sampled = np.asarray(sampled)
             for s in range(nslots):
                 rid = slot_req[s]
                 if rid < 0:
