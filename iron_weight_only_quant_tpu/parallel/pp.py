@@ -104,7 +104,8 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
         def run(params, tokens, cos, sin, mask):
             stage = jax.lax.axis_index(axis)
             local = jax.tree.map(lambda a: a[0], params["stages"])
-            n_local = local["input_norm"].shape[0]
+            # folded params carry input_norm=None; any leaf gives the depth
+            n_local = jax.tree.leaves(local)[0].shape[0]
             x_embed = params["embed"][tokens]  # [B, S, H] (embed replicated)
             h = x_embed.shape[-1]
 

@@ -35,6 +35,20 @@ from ..models.common import (
     rmsnorm,
     rope_tables,
 )
+
+
+def _rms_maybe(x, weight, eps):
+    """rmsnorm that accepts weight=None (gamma folded into the following
+    projections by models.llama.fold_llama_norms)."""
+    if weight is None:
+        import jax
+        import jax.numpy as jnp
+
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+    return rmsnorm(x, weight, eps)
+
 from ..quantize.qtensor import QuantizedTensor
 from ..quantize.rtn import quantize_tensor
 
@@ -174,7 +188,10 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
         b, s, _ = x.shape
         pl_ = {k: _local_view(v, d, row=k in ("o", "down"))
                if isinstance(v, dict) and "w" in v else v for k, v in p.items()}
-        attn_in = rmsnorm(x, pl_["input_norm"], cfg.rms_norm_eps)
+        # folded params (fold_llama_norms) carry None norms: run the
+        # weightless rmsnorm in XLA (the in-kernel pre_norm path is not
+        # plumbed through shard_map; correctness over peak TP decode speed)
+        attn_in = _rms_maybe(x, pl_["input_norm"], cfg.rms_norm_eps)
         q = linear(attn_in, pl_["q"]).reshape(b, s, h_loc, hd)
         k = linear(attn_in, pl_["k"]).reshape(b, s, kv_loc, hd)
         v = linear(attn_in, pl_["v"]).reshape(b, s, kv_loc, hd)
@@ -188,7 +205,7 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
         o_part = linear(attn.reshape(b, s, h_loc * hd), pl_["o"])
         x = x + jax.lax.psum(o_part, axis)
 
-        mlp_in = rmsnorm(x, pl_["post_norm"], cfg.rms_norm_eps)
+        mlp_in = _rms_maybe(x, pl_["post_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(linear(mlp_in, pl_["gate"]).astype(jnp.float32)).astype(
             x.dtype
         )
