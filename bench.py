@@ -551,7 +551,11 @@ def main():
 
     serve_stats = None
     if not args.no_serve and not args.scan and not args.small:
-        serve_stats = serve_throughput(cfg, params_w4, batch)
+        try:
+            serve_stats = serve_throughput(cfg, params_w4, batch)
+        except Exception as e:  # never lose the headline to the serve bench
+            print(f"warning: serve bench failed: {e}", file=sys.stderr)
+            serve_stats = {"serve_error": str(e)[:200]}
     del params_w4
 
     # roofline accounting (BASELINE.md: >=80% of roofline on every chip):
