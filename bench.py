@@ -235,47 +235,51 @@ def _slope_timeit(fn, x, operands, fold="first", iters=(100, 400), reps=3):
     return None
 
 
-def kernel_roofline(spec, rounds=4, hbm_floor_bytes=192 * 2**20):
-    """Per-shape kernel-level roofline at the 7B decode shapes.
+HBM_SPEC_GBPS = 819.0  # v5e paper number: physical sanity bound
 
-    Fraction of the *measured* dense bf16 stream (the achievable roofline
-    for this access pattern on this chip) that the fused W4 kernel's packed
-    stream reaches — rate vs rate, so a fraction of 1.0 means the packed
-    kernel moves its (4x fewer) bytes at the same HBM rate the dense matmul
-    moves bf16.
 
-    HBM residency: each variant rotates enough DISTINCT weight buffers that
-    their total exceeds VMEM (128 MB on v5e) — a loop-invariant weight gets
-    pinned in VMEM and reads >1.3 TB/s, which is how BENCH_r02 published a
-    9.5 PB/s row.  Interleaved minima over ``rounds`` (the chip is shared;
-    contention only adds time — NOTES.md methodology)."""
+def kernel_roofline(spec, shapes=((4096, 4096), (11008, 4096),
+                                  (4096, 11008)), rounds=4,
+                    hbm_floor_bytes=384 * 2**20, bits_label="w4"):
+    """Per-shape kernel-level roofline at decode shapes.
+
+    HBM residency WITHOUT dispatch distortion: the packed side rotates
+    layers of ONE stacked artifact through the scalar-prefetch kernel
+    (``fused_quantized_matmul_stacked`` with ``layer_idx = i % R``) -- one
+    compiled program, a data-dependent layer choice, no ``lax.switch``
+    (whose 22-way rotation inflated per-op time ~3x in BENCH_r03, forcing
+    "treat as invalid" notes) and no HBM->HBM weight copy.  The stacked
+    buffer totals >= ``hbm_floor_bytes`` (3x VMEM) so nothing pins in the
+    v5e's 128 MB VMEM (a pinned weight "streams" >1.3 TB/s; BENCH_r02
+    published a 9.5 PB/s row that way).  The dense comparator rotates a
+    stacked bf16 buffer via ``dynamic_index_in_dim``; if XLA materializes
+    the layer slice instead of fusing the gather into the dot, its rate
+    reads LOW -- so the dense number is sanity-bounded and the fraction
+    falls back to the HBM spec denominator with an explicit note rather
+    than ever publishing an invalid row.
+
+    Note the stacked-prefetch kernel measured equal-or-slightly-below the
+    flat kernel on v5e (NOTES.md: 471 vs 514 GB/s on one probe), so these
+    fractions are a mild UNDER-estimate of the flat serving kernel."""
     import jax
     import jax.numpy as jnp
 
     from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
-        fused_quantized_matmul,
+        fused_quantized_matmul_stacked,
     )
     from iron_weight_only_quant_tpu.quantize import quantize_tensor
-
-    HBM_SPEC_GBPS = 819.0  # v5e paper number: physical sanity bound
 
     rng = np.random.default_rng(0)
     m = 8
     out = {}
-    for k, n in ((4096, 4096), (11008, 4096), (4096, 11008)):
+    for k, n in shapes:
         x = jnp.asarray(
             rng.normal(size=(m, k)).astype(np.float32), jnp.bfloat16
         )
-        # square shapes chain y = f_i(y) through every distinct buffer per
-        # iteration (serialized by data dependency, zero dispatch overhead);
-        # a 22-way lax.switch measured ~3x the true per-op time.  Weight
-        # scale k^-1/2 keeps chained magnitudes O(1).
-        chain = k == n
-        wscale = k**-0.5 if chain else 0.02
 
         def make_qt():
             w = jnp.asarray(
-                rng.normal(size=(k, n)).astype(np.float32) * wscale)
+                rng.normal(size=(k, n)).astype(np.float32) * 0.02)
             return quantize_tensor(w, spec, pad_n_to=512)
 
         qt0 = make_qt()
@@ -285,73 +289,75 @@ def kernel_roofline(spec, rounds=4, hbm_floor_bytes=192 * 2**20):
         n_q = max(2, -(-hbm_floor_bytes // qb_one))
         n_d = max(2, -(-hbm_floor_bytes // db_one))
         qts = [qt0] + [make_qt() for _ in range(n_q - 1)]
-        wds = [jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16) * wscale
-               for _ in range(n_d)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        del qts, qt0
+        rows = stacked.scales.shape[1]
+        if rows > 1 and rows % 8:  # stacked kernels need 8-multiple rows
+            pad = 8 - rows % 8
+            pr = lambda a: None if a is None else jnp.pad(  # noqa: E731
+                a, ((0, 0), (0, pad), (0, 0)))
+            stacked = stacked.replace(scales=pr(stacked.scales),
+                                      zeros=pr(stacked.zeros), side_pad=pad)
+        wd = jnp.stack([
+            jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16) * 0.02
+            for _ in range(n_d)
+        ])
         qbytes = qb_one + x.size * 2 + m * n * 2
         dbytes = db_one + x.size * 2 + m * n * 2
 
-        if chain:
-            def f_q(xx, ops, i):
-                y = xx
-                for q in ops:
-                    y = fused_quantized_matmul(y, q).astype(xx.dtype)
-                return y
+        def f_q(xx, ops, i, _r=n_q):
+            return fused_quantized_matmul_stacked(xx, ops, i % _r)
 
-            def f_d(xx, ops, i):
-                y = xx
-                for w in ops:
-                    y = jnp.dot(y, w)
-                return y
-        else:
-            def f_q(xx, ops, i):
-                return jax.lax.switch(
-                    i % len(ops),
-                    [(lambda x2, q=q: fused_quantized_matmul(x2, q))
-                     for q in ops],
-                    xx,
-                )
+        def f_d(xx, ops, i, _r=n_d):
+            w = jax.lax.dynamic_index_in_dim(ops, i % _r, 0, keepdims=False)
+            return jnp.dot(xx, w)
 
-            def f_d(xx, ops, i):
-                return jax.lax.switch(
-                    i % len(ops),
-                    [(lambda x2, w=w: jnp.dot(x2, w)) for w in ops],
-                    xx,
-                )
-
-        it_q = (25, 100) if chain else (100, 400)
         t_q = t_d = float("inf")
         for _ in range(rounds):
-            tq = _slope_timeit(f_q, x, tuple(qts), iters=it_q)
-            td = _slope_timeit(f_d, x, tuple(wds), fold="sum", iters=it_q)
+            tq = _slope_timeit(f_q, x, stacked)
+            td = _slope_timeit(f_d, x, wd, fold="sum")
             t_q = min(t_q, tq if tq else float("inf"))
             t_d = min(t_d, td if td else float("inf"))
-        if chain:  # slope is per chain of len(ops) matmuls
-            t_q = t_q / n_q if np.isfinite(t_q) else t_q
-            t_d = t_d / n_d if np.isfinite(t_d) else t_d
         entry = {"n_weight_buffers": [n_q, n_d]}
-        if not np.isfinite(t_q) or not np.isfinite(t_d):
-            entry.update(w4_us=None, w4_gbps=None, dense_gbps=None,
-                         roofline_frac=None, note="unresolvable slope")
+        if not np.isfinite(t_q):
+            entry.update(w_us=None, w_gbps=None, roofline_frac=None,
+                         note="unresolvable packed slope")
         else:
-            qr, dr = qbytes / t_q, dbytes / t_d
-            entry.update(
-                w4_us=round(t_q * 1e6, 1),
-                w4_gbps=round(qr / 1e9, 1),
-                dense_gbps=round(dr / 1e9, 1),
-                roofline_frac=round(qr / dr, 3),
-            )
-            if max(qr, dr) / 1e9 > HBM_SPEC_GBPS * 1.05:
-                entry["note"] = ("rate exceeds HBM spec "
-                                 f"({HBM_SPEC_GBPS} GB/s): VMEM-tainted, "
-                                 "treat as invalid")
+            qr = qbytes / t_q
+            entry.update(**{f"{bits_label}_us": round(t_q * 1e6, 1),
+                            f"{bits_label}_gbps": round(qr / 1e9, 1)})
+            entry["frac_of_hbm_spec"] = round(qr / 1e9 / HBM_SPEC_GBPS, 3)
+            dr = dbytes / t_d if np.isfinite(t_d) else 0.0
+            dense_sane = (0.4 * HBM_SPEC_GBPS <= dr / 1e9
+                          <= 1.05 * HBM_SPEC_GBPS)
+            if dense_sane:
+                entry["dense_gbps"] = round(dr / 1e9, 1)
+                entry["roofline_frac"] = round(qr / dr, 3)
+            else:
+                entry["dense_gbps"] = round(dr / 1e9, 1) if dr else None
+                entry["roofline_frac"] = entry["frac_of_hbm_spec"]
+                entry["note"] = (
+                    "dense comparator outside sanity bounds (gather not "
+                    "fused or contention); roofline_frac is vs the "
+                    f"{HBM_SPEC_GBPS} GB/s HBM spec instead"
+                )
+            if qr / 1e9 > 1.05 * HBM_SPEC_GBPS:
+                entry["note"] = ("packed rate exceeds HBM spec: residency "
+                                 "violated, treat as invalid")
         out[f"{k}x{n}"] = entry
+        del stacked, wd
     return out
 
 
-def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
+def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
+                     scan=False):
     """Continuous-batching throughput: mixed-length requests through
     engine.serve with chunked device steps (one host sync per ``chunk``
-    tokens -- the host round-trip is ~25 ms through the tunnel)."""
+    tokens -- the host round-trip is ~25 ms through the tunnel).
+
+    ``scan=True`` serves through the scan-over-layers forward on stacked
+    params (slot-local stacked KV timelines) -- the 13B/70B-depth serving
+    configuration."""
     import random
 
     from iron_weight_only_quant_tpu.config import EngineConfig, KVCacheConfig
@@ -365,11 +371,13 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
     import jax.numpy as jnp
 
     from iron_weight_only_quant_tpu.models import llama_forward
+    from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
 
     ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=128),
                         max_batch_size=nslots)
-    eng = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg,
-                          dtype=jnp.bfloat16)
+    eng = InferenceEngine(params, cfg,
+                          llama_forward_scan if scan else llama_forward,
+                          engine_cfg=ecfg, dtype=jnp.bfloat16)
     stats = {}
     run = lambda: eng.serve(reqs, max_new_tokens=max_new, chunk=chunk,  # noqa: E731
                             stats=stats)
@@ -385,23 +393,78 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3):
     # never emit eos_token=-1, but the accounting no longer assumes that)
     n_generated = sum(len(r) for r in out)
     n_prompt = sum(len(r) for r in reqs)
+    slot_steps = max(stats.get("n_steps", 1) * nslots, 1)
+    lat = {}
+    for key, series in (("ttft", stats.get("ttft_s")),
+                        ("tpot", stats.get("tpot_s"))):
+        if series:
+            arr = np.asarray(series, np.float64) * 1e3
+            lat[f"serve_{key}_p50_ms"] = round(float(np.percentile(arr, 50)), 1)
+            lat[f"serve_{key}_p95_ms"] = round(float(np.percentile(arr, 95)), 1)
     return {
         "serve_toks_per_s": round(n_generated / t, 1),
         "serve_total_toks_per_s": round((n_generated + n_prompt) / t, 1),
         "serve_requests": len(reqs),
         "serve_chunk": chunk,
         "serve_wall_s": round(t, 2),
-        "serve_note": "combo waves (prefill + decode chunk, one sync) with "
-                      "Orca-style decode piggyback; serve_toks_per_s counts "
-                      "GENERATED tokens only, so its ceiling at the static "
-                      "decode rate is generated/(generated+prompt) of that "
-                      "rate -- serve_util (real tokens / slot-steps) is the "
-                      "scheduling-quality metric",
+        # slot-step accounting (the old token-share "ceiling" arithmetic was
+        # self-contradicting: prefill waves advance a slot's whole prompt
+        # chunk in ONE device step, so prompt tokens do NOT each consume a
+        # decode-rate slot step).  The device ran n_steps steps x nslots
+        # slots; serve_util_gen = generated / slot-steps (fraction of slot
+        # capacity yielding kept tokens -- garbage after EOS and idle slots
+        # are the loss), serve_util = ALL real tokens / slot-steps (can
+        # exceed 1: wave steps carry up to prefill_chunk prompt tokens per
+        # slot).  The remaining throughput gap vs static-decode x
+        # serve_util_gen is wave compute (S-token forwards cost more than
+        # 1-token steps) plus ~25 ms/sync host round-trips.
         "serve_syncs": stats.get("n_combos", 0) + stats.get("n_chunks", 0),
         "serve_device_steps": stats.get("n_steps", 0),
-        "serve_util": round(n_generated / max(
-            stats.get("n_steps", 1) * nslots, 1), 3),
+        "serve_util_gen": round(n_generated / slot_steps, 3),
+        "serve_util": round((n_generated + n_prompt) / slot_steps, 3),
+        **lat,
     }
+
+
+def qhead_quality_delta(spec, seed=0):
+    """Synthetic PPL cost of the packed lm_head on a tiny model.
+
+    The serving default packs the head (int4-g128) for the ~190 us/step it
+    saves; the reference keeps lm_head dense (quant_wrapper.py:53) -- this
+    records what the override costs in quality terms: teacher-forced
+    exp(NLL) on random token streams, dense head vs packed head, identical
+    trunk weights.  Random weights make this a numerical-contract check
+    (same-scale logits, same softmax), not a language-quality claim; the
+    real-data gate is scripts/run_real_parity.sh.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward
+
+    cfg = LlamaConfig(vocab_size=2048, hidden_size=512,
+                      intermediate_size=1024, num_layers=2, num_heads=4,
+                      num_kv_heads=2, max_position_embeddings=256)
+    key = jax.random.PRNGKey(seed)
+    p_dense = build_quantized_llama(cfg, key, spec, jnp.bfloat16,
+                                    quantize_lm_head=False)
+    p_packed = build_quantized_llama(cfg, key, spec, jnp.bfloat16,
+                                     quantize_lm_head=True)
+    toks = jnp.asarray(
+        np.random.default_rng(seed).integers(1, cfg.vocab_size, (4, 128)),
+        jnp.int32)
+
+    @jax.jit
+    def ppl(params):
+        logits, _ = llama_forward(params, toks, cfg)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1).mean()
+        return jnp.exp(nll)
+
+    a, b = float(ppl(p_dense)), float(ppl(p_packed))
+    return {"qhead_ppl_dense": round(a, 4), "qhead_ppl_packed": round(b, 4),
+            "qhead_ppl_rel_delta": round((b - a) / a, 6)}
 
 
 def main():
@@ -409,8 +472,10 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
     ap.add_argument("--scan", action="store_true",
                     help="scan-over-layers forward (fast compile, slower decode)")
-    ap.add_argument("--qhead", action="store_true",
-                    help="quantize the lm_head too (reference always skips it)")
+    ap.add_argument("--no_qhead", action="store_true",
+                    help="keep the lm_head dense bf16 (the reference's "
+                         "choice, quant_wrapper.py:53; the serving default "
+                         "packs it -- ~190 us/step of the fixed cost)")
     ap.add_argument("--no_serve", action="store_true",
                     help="skip the continuous-batching serve measurement")
     ap.add_argument("--no_fuse", action="store_true",
@@ -508,18 +573,31 @@ def main():
     import dataclasses
     cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
 
+    qhead = not args.no_qhead
+
     def build(c, sp):
         return prep(build_quantized_llama(
             c, key, sp, jnp.bfloat16,
-            quantize_lm_head=args.qhead and sp is not None,
+            quantize_lm_head=qhead and sp is not None,
             prenorm=not args.no_prenorm))
 
+    serve_stats = None
     if args.model == "13b":
         # three models alive at once exceed HBM at 13B scale: measure
         # sequentially (accepting window drift on the ratio numbers)
         params_w4 = build(cfg, spec)
         t_step = decode_time_per_step(cfg, params_w4, batch,
                                       scan_layers=args.scan)
+        if not args.no_serve:
+            # 13B serve rides the scan path (stacked slot-local KV); the
+            # model is still resident here, before the ratio twins build
+            try:
+                serve_stats = serve_throughput(cfg, params_w4, batch,
+                                               scan=True)
+                serve_stats["serve_forward"] = "scan"
+            except Exception as e:
+                print(f"warning: serve bench failed: {e}", file=sys.stderr)
+                serve_stats = {"serve_error": str(e)[:200]}
         del params_w4
         params_w4 = None
         p_w4 = build(cfg_r, spec)
@@ -549,10 +627,12 @@ def main():
     toks_per_s = batch / t_step
     speedup = t_bf16 / t_w4
 
-    serve_stats = None
-    if not args.no_serve and not args.scan and not args.small:
+    if serve_stats is None and not args.no_serve and not args.small:
         try:
-            serve_stats = serve_throughput(cfg, params_w4, batch)
+            serve_stats = serve_throughput(cfg, params_w4, batch,
+                                           scan=args.scan)
+            if args.scan:
+                serve_stats["serve_forward"] = "scan"
         except Exception as e:  # never lose the headline to the serve bench
             print(f"warning: serve bench failed: {e}", file=sys.stderr)
             serve_stats = {"serve_error": str(e)[:200]}
@@ -581,6 +661,13 @@ def main():
             print(f"warning: kernel_roofline failed: {e}", file=sys.stderr)
             kroof = {"error": str(e)[:200]}
 
+    qhead_stats = {}
+    if qhead and not args.small:
+        try:
+            qhead_stats = qhead_quality_delta(spec)
+        except Exception as e:
+            print(f"warning: qhead quality probe failed: {e}", file=sys.stderr)
+
     result = {
         "metric": f"llama{args.model}-shape W4g128 decode throughput, 1 chip"
         if not args.small else "tiny W4 decode throughput (sanity)",
@@ -596,6 +683,10 @@ def main():
             "dense_stream_gbps": round(dense_gbps, 1),
             "per_layer_us": round(per_layer_w4 * 1e6, 1),
             "fixed_overhead_us": round(fixed * 1e6, 1),
+            # serving default packs the head; the reference keeps it dense
+            # (quant_wrapper.py:53) -- parity evals still use the dense head
+            "lm_head": ("int4-g128 packed" if qhead else "dense bf16"),
+            **qhead_stats,
             **({"kernel_roofline": kroof} if kroof else {}),
             **(serve_stats or {}),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",

@@ -236,8 +236,15 @@ class EngineConfig:
     activation_bits: Optional[int] = None
     # fuse qkv / gate_up packed artifacts at engine build (exact column
     # concat; e2e-measured ~20 us/layer decode win on v5e -- NOTES.md).
-    # Applies to unsharded llama-family params; ignored elsewhere.
+    # Applies to llama-family params (single-chip layout, or the
+    # shard-blocked tp_block layout under tensor parallelism).
     fuse_projections: bool = False
+    # generate() runs this many decode steps device-side per host sync
+    # (lax.scan), so the first-touch API does not pay the ~25 ms host
+    # round-trip per token; results are bit-identical to step-by-step
+    # decode (same rng split sequence; post-EOS garbage is discarded on
+    # the host exactly as serve() does).  1 = legacy per-token stepping.
+    decode_chunk: int = 16
 
 
 def replace(cfg, **kw):

@@ -65,19 +65,90 @@ def _decode_step(params, tok, positions, mask, caches, rng, forward, cfg,
     return nxt, caches
 
 
+@partial(jax.jit,
+         static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
+                          "c", "abits"),
+         donate_argnames=("caches",))
+def _generate_chunk(params, tok0, pads, cur0, caches, rng, forward, cfg,
+                    temperature, top_k, t_max, c, abits=None):
+    """C decode steps device-side for generate() (shared left-padded
+    timeline).  Bit-identical to C iterations of :func:`_decode_step` --
+    same positions/mask construction, same per-step rng split sequence --
+    but ONE host sync per chunk instead of per token (~25 ms each through a
+    tunneled chip).  Returns ([B, C] sampled tokens, final token, caches,
+    advanced rng); the host discards post-EOS garbage exactly as serve()
+    does."""
+    from ..ops.qmatmul import activation_quant
+
+    cols = jnp.arange(t_max)
+
+    def step(carry, _):
+        tok, caches, cur, rng = carry
+        positions = (cur - pads)[:, None]
+        mask = (
+            (cols[None, None, None, :] <= cur)
+            & (cols[None, None, None, :] >= pads[:, None, None, None])
+        )
+        rng, sub = jax.random.split(rng)
+        with activation_quant(abits):
+            logits, caches = forward(params, tok, cfg, caches=caches,
+                                     positions=positions, attn_mask=mask)
+        nxt = sample_tokens(logits[:, -1], sub, temperature, top_k)
+        return (nxt[:, None], caches, cur + 1, rng), nxt
+
+    (tok, caches, _, rng), sampled = jax.lax.scan(
+        step, (tok0, caches, cur0, rng), None, length=c)
+    return jnp.swapaxes(sampled, 0, 1), tok[:, 0], caches, rng
+
+
 def _stamp(caches, lens, valid, page_table):
     """Set per-slot lengths/valid/page-table on every cache view INSIDE the
     jitted program: one host->device transfer per array per sync, instead
     of fresh per-layer copies on the host (~100 tiny eager transfers per
-    sync through the tunnel -- they measured as ~half the serve wall)."""
-    out = []
-    for c in caches:
-        upd = {"length": lens, "valid": valid}
+    sync through the tunnel -- they measured as ~half the serve wall).
+
+    ``caches`` is the per-layer view list OR one stacked ([L, ...]) view
+    (scan-over-layers serving); stacked lengths broadcast to ``[L, B]``
+    (layer-l updates advance row l) while ``valid`` stays ``[B]``, shared
+    by every layer of the wave."""
+    def one(c):
+        ln = lens
+        arr = getattr(c, "k", None)
+        if arr is None:
+            arr = getattr(c, "k_codes", None)
+        if arr is not None and arr.ndim == 5:  # stacked view: [L, B, T, H, D]
+            ln = jnp.broadcast_to(lens[None], (arr.shape[0],) + lens.shape)
+        upd = {"length": ln, "valid": valid}
         if page_table is not None:
             upd["page_table"] = page_table
-        out.append(c._replace(**upd) if hasattr(c, "_replace")
-                   else c.replace(**upd))
-    return out
+        return (c._replace(**upd) if hasattr(c, "_replace")
+                else c.replace(**upd))
+
+    if _is_view_list(caches):
+        return [one(c) for c in caches]
+    return one(caches)
+
+
+def _clear_valid(caches):
+    """valid=None on every view (per-slot partial-write scope ends)."""
+    def one(c):
+        return (c._replace(valid=None) if hasattr(c, "_replace")
+                else c.replace(valid=None))
+
+    if _is_view_list(caches):
+        return [one(c) for c in caches]
+    return one(caches)
+
+
+def _is_view_list(caches) -> bool:
+    # KVCacheView is a NamedTuple (a tuple!); a cache VIEW has a .length
+    # field, a view LIST does not
+    return isinstance(caches, (list, tuple)) and not hasattr(caches, "length")
+
+
+def _cache0(caches):
+    """First per-layer view, or the stacked view itself."""
+    return caches[0] if _is_view_list(caches) else caches
 
 
 @partial(jax.jit,
@@ -190,10 +261,12 @@ def _serve_combo(params, meta, page_table, caches, rng, forward, cfg,
     wave_tok = sample_tokens(last, sub, temperature, top_k)
 
     # chunk phase: lengths advanced by the wave's valid counts; per-slot
-    # partial-write semantics end here (every chunk step writes one token)
+    # partial-write semantics end here (every chunk step writes one token).
+    # Flat per-layer views already consumed their valid on write; the
+    # stacked view KEEPS it (every scan layer reads the same mask), so it
+    # is cleared here either way.
     lens1 = lens0 + n_valid
-    caches = [c._replace(valid=None) if hasattr(c, "_replace")
-              else c.replace(valid=None) for c in caches]
+    caches = _clear_valid(caches)
     tok0 = jnp.where(tok_src, wave_tok, tok0_else)[:, None]
 
     def step(carry, inp):
@@ -253,6 +326,16 @@ class InferenceEngine:
                 params = self._repack_row_parallel(
                     params, family, self.mesh.shape["model"]
                 )
+                if engine_cfg.fuse_projections and family == "llama":
+                    # shard-BLOCKED fused qkv/gate_up (columns laid out
+                    # [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] so the N sharding
+                    # gives each shard a locally-fused block); the
+                    # single-chip fusion layout cannot column-shard
+                    from ..parallel.tp_block import fuse_projections_tp
+
+                    params = fuse_projections_tp(
+                        params, self.mesh.shape["model"]
+                    )
             specs = param_specs(family, params)
             self.params = apply_sharding(params, specs, self.mesh)
             if tp_block:
@@ -277,11 +360,20 @@ class InferenceEngine:
             # llama only: the transform rewrites llama-shaped layer dicts
             # (q/k/v -> qkv); other families' forwards don't know the fused
             # keys, and family=None gives no shape guarantee
-            if engine_cfg.fuse_projections and family == "llama":
+            if engine_cfg.fuse_projections and family is None:
+                import warnings
+
+                warnings.warn(
+                    "EngineConfig.fuse_projections is set but family is "
+                    "None: the fused qkv/gate_up fast path only applies "
+                    "with family='llama'", stacklevel=2)
+            if engine_cfg.fuse_projections and family == "llama" \
+                    and "layers" in params:
                 # exact fused qkv / gate_up artifacts (column-wise concat of
                 # per-group quantized tensors); ~20 us/layer decode win on
-                # v5e (scripts/probe_e2e_tiles.py).  Sharded paths keep the
-                # unfused layout (TP specs name the individual projections).
+                # v5e (scripts/probe_e2e_tiles.py).  Stacked
+                # (layers_stacked) params skip fusion -- the scalar-prefetch
+                # stacked views take unfused layers.
                 from ..models.llama import fuse_llama_projections
 
                 params = fuse_llama_projections(params)
@@ -313,7 +405,17 @@ class InferenceEngine:
         return getattr(self.cfg, "num_kv_heads", getattr(self.cfg, "num_heads"))
 
     def _fresh_caches(self, batch: int):
-        return make_caches(
+        stacked = "layers_stacked" in self.params
+        if stacked and self.engine_cfg.kv.paged:
+            raise NotImplementedError(
+                "paged KV caches do not compose with scan-over-layers "
+                "params; use contiguous (quantized) caches for the scan "
+                "path or flat layers for paging"
+            )
+        from .kvcache import make_stacked_caches
+
+        mk = make_stacked_caches if stacked else make_caches
+        return mk(
             len(self.params["layers"]) if "layers" in self.params else self.cfg.num_layers,
             batch, self._n_kv_heads(), self.cfg.hd, self.engine_cfg.kv, self.dtype,
         )
@@ -344,7 +446,7 @@ class InferenceEngine:
         b = len(prompts)
         toks, pads, L = self._left_pad(prompts, self.pad_token)
         caches = self._fresh_caches(b)
-        t_max = cache_max_len(caches[0])
+        t_max = cache_max_len(_cache0(caches))
         if L + max_new_tokens > t_max:
             raise ValueError(
                 f"prompt ({L}) + max_new ({max_new_tokens}) exceeds "
@@ -383,6 +485,34 @@ class InferenceEngine:
         out = [[int(next_tok[i])] for i in range(b)]
         done = np.array([out[i][0] == self.eos_token for i in range(b)])
         cur = L
+        chunk_c = max(1, self.engine_cfg.decode_chunk)
+        if chunk_c > 1:
+            # chunked device-side decode: one host sync per chunk_c tokens
+            # (identical outputs to the per-token loop below -- same
+            # positions/mask/rng sequence; post-EOS garbage is discarded)
+            cur_j = jnp.asarray(cur, jnp.int32)
+            tok = next_tok[:, None]
+            remaining = max_new_tokens - 1
+            while remaining > 0 and not done.all():
+                step_c = int(min(chunk_c, remaining))
+                sampled, tok_last, caches, rng = _generate_chunk(
+                    self.params, tok, pads_j, cur_j, caches, rng,
+                    self.forward, self.cfg, temperature, top_k, t_max,
+                    step_c, self.engine_cfg.activation_bits,
+                )
+                cur_j = cur_j + step_c
+                remaining -= step_c
+                toks_np = np.asarray(sampled)
+                for i in range(b):
+                    for j in range(step_c):
+                        if done[i]:
+                            break
+                        t = int(toks_np[i, j])
+                        out[i].append(t)
+                        if t == self.eos_token:
+                            done[i] = True
+                tok = tok_last[:, None]
+            return out
         for _ in range(max_new_tokens - 1):
             if done.all():
                 break
@@ -439,7 +569,7 @@ class InferenceEngine:
             raise ValueError("empty prompts are not allowed")
         nslots = min(self.engine_cfg.max_batch_size, max(1, len(requests)))
         caches = self._fresh_caches(nslots)
-        t_max = cache_max_len(caches[0])
+        t_max = cache_max_len(_cache0(caches))
         for r in requests:
             if len(r) + max_new_tokens > t_max:
                 raise ValueError(
@@ -447,6 +577,12 @@ class InferenceEngine:
                     f"exceeds kv.max_seq_len ({t_max})"
                 )
 
+        import time as _time
+
+        t_serve0 = _time.perf_counter()
+        sync_t = [t_serve0]  # wall time of the last device sync (fetch)
+        first_tok_t: Dict[int, float] = {}  # request -> first-token time
+        done_t: Dict[int, float] = {}       # request -> completion time
         queue = list(range(len(requests)))
         results: Dict[int, List[int]] = {}
         # per-slot state
@@ -472,7 +608,15 @@ class InferenceEngine:
             slot_pages: List[List[int]] = [[] for _ in range(nslots)]
             table_np = np.zeros((nslots, mp), np.int32)
 
+        def note_tok(rid):
+            # latency bookkeeping at SYNC granularity: tokens become visible
+            # to a client at the host fetch, so TTFT/TPOT are measured
+            # against sync wall times, not device steps
+            if len(results[rid]) == 1:
+                first_tok_t[rid] = sync_t[0]
+
         def release(s):
+            done_t[slot_req[s]] = sync_t[0]
             slot_req[s] = -1
             slot_len[s] = 0
             if paged:
@@ -592,6 +736,7 @@ class InferenceEngine:
                     sbkt, c, self.engine_cfg.activation_bits,
                 )
                 out_np = np.asarray(out)
+                sync_t[0] = _time.perf_counter()
                 wave_np, sampled = out_np[:, 0], out_np[:, 1:]
                 # device advanced every slot by valid + c; releases below
                 # reset their slots to 0 (admit() also resets)
@@ -602,10 +747,15 @@ class InferenceEngine:
                     rid = slot_req[s]
                     if not piggyback[s]:
                         slot_fed[s] += valid_np[s]
+                        if stats is not None:
+                            stats["n_prompt_fed"] += int(valid_np[s])
                         if slot_fed[s] < len(requests[rid]):
                             continue  # prompt continues via the chunk feed
                     tok = int(wave_np[s])  # next generated token
                     results[rid].append(tok)
+                    note_tok(rid)
+                    if stats is not None:
+                        stats["n_generated"] += 1
                     slot_gen[s] += 1
                     if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
                         release(s)  # its chunk tokens are discarded garbage
@@ -636,6 +786,7 @@ class InferenceEngine:
                     c, self.engine_cfg.activation_bits,
                 )
                 sampled = np.asarray(sampled)
+                sync_t[0] = _time.perf_counter()
                 slot_len += c
             for s in range(nslots):
                 rid = slot_req[s]
@@ -643,11 +794,17 @@ class InferenceEngine:
                     continue
                 prompt = requests[rid]
                 for i in range(c):
-                    slot_fed[s] += 1 if slot_fed[s] < len(prompt) else 0
+                    if slot_fed[s] < len(prompt):
+                        slot_fed[s] += 1
+                        if stats is not None:
+                            stats["n_prompt_fed"] += 1
                     if slot_fed[s] < len(prompt):
                         continue  # this step consumed a prompt token
                     tok = int(sampled[s, i])
                     results[rid].append(tok)
+                    note_tok(rid)
+                    if stats is not None:
+                        stats["n_generated"] += 1
                     slot_gen[s] += 1
                     if tok == self.eos_token or slot_gen[s] >= max_new_tokens:
                         release(s)  # rest of the chunk is discarded garbage
@@ -657,4 +814,15 @@ class InferenceEngine:
                         prompt[slot_fed[s]] if slot_fed[s] < len(prompt)
                         else int(sampled[s, c - 1])
                     )
+        if stats is not None:
+            # per-request latency (sync-granularity; see note_tok)
+            stats["ttft_s"] = [
+                round(first_tok_t[r] - t_serve0, 4)
+                for r in sorted(first_tok_t)
+            ]
+            stats["tpot_s"] = [
+                round((done_t[r] - first_tok_t[r])
+                      / max(len(results[r]) - 1, 1), 4)
+                for r in sorted(done_t) if r in first_tok_t
+            ]
         return [results[i] for i in range(len(requests))]

@@ -340,35 +340,58 @@ class StackedCacheAt:
 
 
 def _stacked_update_and_fetch(caches, l, k_new: jnp.ndarray, v_new: jnp.ndarray):
-    """In-place layer-``l`` append on a stacked ([L, ...]) cache pytree."""
-    if getattr(caches, "valid", None) is not None:
-        raise NotImplementedError(
-            "per-slot partial writes (valid) are not supported on stacked "
-            "scan caches"
-        )
-    if getattr(caches.length, "ndim", 0) != 1:
-        raise NotImplementedError(
-            "stacked scan caches require one scalar timeline per layer "
-            "([L] lengths); slot-local stacked timelines are not supported"
-        )
+    """In-place layer-``l`` append on a stacked ([L, ...]) cache pytree.
+
+    Timelines: ``length`` is ``[L]`` (one shared scalar per layer -- the
+    generate/bench path) or ``[L, B]`` (slot-local, continuous batching);
+    ``valid`` (``[B]``, shared across layers) marks per-slot real-token
+    counts for the next write (serve prefill waves).  Unlike the flat
+    per-layer views -- which consume ``valid`` on write -- the stacked view
+    KEEPS it: every layer of the scan must see the same mask, and the
+    engine clears it between the wave and the chunk phase.
+    """
     start = caches.length[l]
+    valid = getattr(caches, "valid", None)
     s = k_new.shape[1]
     d = k_new.shape[-1]
+    slot_local = getattr(start, "ndim", 0) == 1
+    if valid is not None and not slot_local:
+        raise ValueError("stacked caches: valid requires [L, B] lengths")
 
-    def upd(buf, val):
-        return jax.lax.dynamic_update_slice(
-            buf, val[None].astype(buf.dtype), (l, 0, start, 0, 0)
-        )
+    if slot_local:
+        # per-slot scatter at each slot's own column (mirrors the flat
+        # QuantKVCacheView path at update_and_fetch); out-of-range targets
+        # (beyond a slot's valid count, or past t_max) are dropped
+        b = k_new.shape[0]
+        t_max = (caches.k if isinstance(caches, KVCacheView)
+                 else caches.k_codes).shape[2]
+        t = start[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        if valid is not None:
+            t = jnp.where(jnp.arange(s)[None, :] < valid[:, None], t, t_max)
+        b_idx = jnp.arange(b)[:, None]
+        adv = valid if valid is not None else s
+
+        def upd(buf, val):
+            return buf.at[l, b_idx, t].set(val.astype(buf.dtype), mode="drop")
+    else:
+        adv = s
+
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val[None].astype(buf.dtype), (l, 0, start, 0, 0)
+            )
 
     def at(buf):
         # dynamic layer-slab read; XLA fuses the gather into the attention
         # consumers instead of materializing a copy
         return jax.lax.dynamic_index_in_dim(buf, l, 0, keepdims=False)
 
+    new_len = caches.length.at[l].add(adv)
+
     if isinstance(caches, KVCacheView):
         k = upd(caches.k, k_new)
         v = upd(caches.v, v_new)
-        new = KVCacheView(k, v, caches.length.at[l].add(s))
+        new = KVCacheView(k, v, new_len, valid)
         return new, at(k).astype(k_new.dtype), at(v).astype(v_new.dtype)
 
     if isinstance(caches, QuantKVCacheView):
@@ -379,8 +402,8 @@ def _stacked_update_and_fetch(caches, l, k_new: jnp.ndarray, v_new: jnp.ndarray)
             upd(caches.k_zeros, kz),
             upd(caches.v_codes, vc), upd(caches.v_scales, vs),
             upd(caches.v_zeros, vz),
-            caches.length.at[l].add(s), caches.bits, caches.group,
-            caches.packed,
+            new_len, caches.bits, caches.group, caches.packed,
+            valid=valid,
         )
         k_all = _decode(at(new.k_codes), at(new.k_scales), at(new.k_zeros),
                         d, k_new.dtype, new.packed)
@@ -470,8 +493,9 @@ def cache_length(cache: CacheView) -> jnp.ndarray:
 
 
 def cache_max_len(cache: CacheView) -> int:
+    """T_max of a per-layer ([B, T, ...]) or stacked ([L, B, T, ...]) view."""
     if isinstance(cache, KVCacheView):
-        return cache.k.shape[1]
+        return cache.k.shape[1 if cache.k.ndim == 4 else 2]
     if isinstance(cache, PagedKVCacheView):
         return cache.page_table.shape[1] * cache.page_size
-    return cache.k_codes.shape[1]
+    return cache.k_codes.shape[1 if cache.k_codes.ndim == 4 else 2]

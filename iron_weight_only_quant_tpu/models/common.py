@@ -74,16 +74,25 @@ def stack_model_layers(params: Dict[str, Any],
         # the stacked kernels need per-layer side blocks with row counts
         # divisible by 8, and padding per-call made XLA copy the whole
         # [L, rows, N] side arrays every layer of every step (the round-3
-        # scan-gap finding, ~100 us/layer at 7B depth).  Affine 4/8-bit
-        # only (the formats whose stacked kernels read these directly).
+        # scan-gap finding, ~100 us/layer at 7B depth).  4/8-bit packed
+        # storage only (the formats whose stacked kernels read these
+        # directly); LUT artifacts without zeros pad scales alone (the
+        # stacked call substitutes a dummy zeros ref, has_z=False).
         if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
             return v
         qt = v["w"]
+        from ..ops.qmatmul import packed_bits
+
         rows = qt.scales.shape[1]
-        if (qt.qweight.ndim != 3 or qt.mode != "affine"
-                or qt.spec.storage_bits not in (4, 8)
-                or qt.side_pad or rows <= 1 or rows % 8 == 0
-                or qt.zeros is None or qt.zeros.shape[1] != rows):
+        if (qt.qweight.ndim != 3 or packed_bits(qt) not in (4, 8)
+                or qt.side_pad or rows <= 1 or rows % 8 == 0):
+            return v
+        if qt.zeros is not None and qt.zeros.shape[1] != rows:
+            # broadcast ([L, 1, 1]) zero-points (symmetric affine) cannot
+            # pre-pad: the stacked kernel would still per-call materialize
+            # the broadcast to [L, rows, N].  The lift is a const-z kernel
+            # variant (symmetric z is the compile-time constant
+            # 2^(bits-1), already 0 for the shifted int8 byte layout).
             return v
         pad = 8 - rows % 8
         pr = lambda a: None if a is None else jnp.pad(

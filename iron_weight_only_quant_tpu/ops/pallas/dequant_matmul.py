@@ -1457,7 +1457,10 @@ def fused_quantized_matmul_stacked(
     if sp and k // g_target == rows:
         srows, srows_p = rows, rows + sp
         scales2 = qt.scales.reshape(-1, qt.scales.shape[-1])
-        zeros2 = qt.zeros.reshape(-1, qt.zeros.shape[-1])
+        # no-zeros (LUT symmetric) artifacts ride a dummy zeros ref; the
+        # has_z=False kernels never read it
+        zeros2 = (qt.zeros.reshape(-1, qt.zeros.shape[-1]) if has_z
+                  else scales2)
     else:
         scales = _normalize_side(qt.scales[:, :rows] if sp else qt.scales,
                                  k, n, g_target, axis=1)

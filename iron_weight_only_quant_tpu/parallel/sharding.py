@@ -37,6 +37,8 @@ _LLAMA_LAYER = {
     "q": COL, "k": COL, "v": COL, "o": ROW,
     "post_norm": P(),
     "gate": COL, "up": COL, "down": ROW,
+    # shard-blocked fused artifacts (tp_block.fuse_projections_tp)
+    "qkv": COL, "gate_up": COL,
 }
 _OPT_LAYER = {
     "attn_norm": REP,
@@ -121,6 +123,16 @@ def apply_sharding(params: Dict[str, Any], specs: Dict[str, Any], mesh: Mesh):
     """Place every param according to its spec (dicts with 'w'/'b' handled)."""
 
     def walk(p, s):
+        from ..models.common import FusedLinear
+
+        if isinstance(p, FusedLinear):
+            wspec = s["w"] if isinstance(s, dict) else s
+            return p.replace(
+                w=walk(p.w, wspec),
+                b=None if p.b is None
+                else _leaf_sharding(p.b, s["b"] if isinstance(s, dict)
+                                    else P("model"), mesh),
+            )
         if isinstance(p, QuantizedTensor):
             return _leaf_sharding(p, s, mesh)
         if isinstance(p, dict):

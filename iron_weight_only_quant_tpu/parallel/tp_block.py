@@ -27,6 +27,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..models.common import (
+    FusedLinear,
     KVCacheView,
     apply_rope,
     attend,
@@ -35,21 +36,7 @@ from ..models.common import (
     rmsnorm,
     rope_tables,
 )
-
-
-def _rms_maybe(x, weight, eps):
-    """rmsnorm that accepts weight=None (gamma folded into the following
-    projections by models.llama.fold_llama_norms)."""
-    if weight is None:
-        import jax
-        import jax.numpy as jnp
-
-        xf = x.astype(jnp.float32)
-        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
-    return rmsnorm(x, weight, eps)
-
-from ..quantize.qtensor import QuantizedTensor
+from ..quantize.qtensor import QuantizedTensor, concat_n
 from ..quantize.rtn import quantize_tensor
 
 
@@ -59,6 +46,115 @@ _FAMILY_LINEARS = {
     "opt": (("q", "k", "v", "fc1"), ("o", "fc2")),
     "bloom": (("q", "k", "v", "fc1"), ("o", "fc2")),
 }
+
+
+# ------------------------------------------ TP-aware projection fusion
+
+def _slice_cols(qt: QuantizedTensor, a: int, b: int) -> QuantizedTensor:
+    """Logical column slice ``[a, b)`` of a packed artifact.
+
+    Exact: per-group quantization is independent per output column, and the
+    K-dim packing (ops/packing.py) never mixes columns.  Member N padding
+    (columns >= shape[1]) is dropped by slicing logical columns only.
+    """
+    def side(s):
+        if s is None or s.shape[-1] <= 1:
+            return s
+        return s[..., a:b]
+
+    return qt.replace(
+        qweight=qt.qweight[..., a:b], scales=side(qt.scales),
+        zeros=side(qt.zeros), shape=(qt.shape[0], b - a), n_pad=0,
+    )
+
+
+def _pad_cols_zero(qt: QuantizedTensor, mult: int) -> QuantizedTensor:
+    """Append zero-contribution columns so stored N is a ``mult`` multiple.
+
+    Padding columns carry scale 0 (and zero-point 0), so they dequantize to
+    exactly 0 in both affine (``(c - z) * 0``) and LUT (``book[c] * 0``)
+    modes regardless of code bytes.  ``shape`` grows (the caller treats the
+    padding as logical dead columns and slices member outputs by spans).
+    """
+    n = qt.shape[1]
+    if mult <= 1 or n % mult == 0:
+        return qt
+    pad = mult - n % mult
+
+    def padded(a, rows_like):
+        if a is None:
+            return None
+        if a.shape[-1] <= 1:  # broadcast side info cannot express dead cols
+            raise ValueError("cannot zero-pad per-tensor side info")
+        width = ((0, 0),) * (a.ndim - 1) + ((0, pad),)
+        return jnp.pad(a, width)
+
+    return qt.replace(
+        qweight=padded(qt.qweight, None),
+        scales=padded(qt.scales, None),
+        zeros=padded(qt.zeros, None),
+        shape=(qt.shape[0], n + pad),
+    )
+
+
+def fuse_projections_tp(params: Dict[str, Any], d: int,
+                        pad_to: int = 128) -> Dict[str, Any]:
+    """Fuse q|k|v and gate|up into shard-BLOCKED wide artifacts for tp_block.
+
+    The single-chip :func:`..models.llama.fuse_llama_projections` layout
+    ``[q | k | v]`` cannot column-shard (a 1/d slice mixes members); here the
+    columns are laid out ``[q_0 k_0 v_0 | q_1 k_1 v_1 | ...]`` so sharding
+    the N axis over ``d`` devices gives each shard its own locally-fused
+    ``[q_i | k_i | v_i]`` block.  Spans stored on the FusedLinear are
+    SHARD-LOCAL (identical for every shard); each shard's block is
+    zero-padded to a ``pad_to`` column multiple so the per-shard kernel gets
+    full-width tiles.  Exact by column independence of per-group
+    quantization (same argument as concat_n).  llama layer dicts only.
+    """
+    def try_fuse(p, names):
+        if not all(n in p for n in names):
+            return None
+        ws = [p[n]["w"] for n in names]
+        if not all(isinstance(w, QuantizedTensor) for w in ws):
+            return None
+        if any(p[n].get("b") is not None for n in names):
+            return None
+        if any(w.shape[1] % d for w in ws):
+            return None
+        shards = []
+        spans = None
+        for i in range(d):
+            members = [
+                _slice_cols(w, i * (w.shape[1] // d),
+                            (i + 1) * (w.shape[1] // d))
+                for w in ws
+            ]
+            try:
+                blk = _pad_cols_zero(concat_n(members), pad_to)
+            except ValueError:
+                return None
+            if spans is None:  # shard-local member spans (same every shard)
+                off, spans = 0, []
+                for m in members:
+                    spans.append((off, off + m.shape[1]))
+                    off += m.shape[1]
+                spans = tuple(spans)
+            shards.append(blk)
+        return FusedLinear(concat_n(shards), None, spans)
+
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        qkv = try_fuse(p, ("q", "k", "v"))
+        if qkv is not None:
+            p["qkv"] = qkv
+            del p["q"], p["k"], p["v"]
+        gu = try_fuse(p, ("gate", "up"))
+        if gu is not None:
+            p["gate_up"] = gu
+            del p["gate"], p["up"]
+        layers.append(p)
+    return {**params, "layers": layers}
 
 
 def shard_model_params(
@@ -110,6 +206,11 @@ def _qt_spec(qt: QuantizedTensor, row: bool) -> Dict[str, Any]:
 
 
 def _linear_specs(lin, row: bool):
+    if isinstance(lin, FusedLinear):
+        return lin.replace(
+            w=_qt_spec(lin.w, row=False),
+            b=None if lin.b is None else P("model"),
+        )
     w = lin["w"]
     if isinstance(w, QuantizedTensor):
         wspec = _qt_spec(w, row)
@@ -153,6 +254,12 @@ def _cache_specs(caches, axis: str):
 def _local_view(lin, d: int, row: bool):
     """Rebuild a local QuantizedTensor with local logical shape inside the
     shard_map body (static metadata must match the local arrays)."""
+    if isinstance(lin, FusedLinear):
+        w = lin.w
+        local = QuantizedTensor(w.qweight, w.scales, w.zeros, w.codebook,
+                                w.spec, (w.shape[0], w.shape[1] // d),
+                                w.mode, 1, w.n_pad, w.k_pad)
+        return lin.replace(w=local)
     w = lin["w"]
     if not isinstance(w, QuantizedTensor):
         return lin
@@ -187,14 +294,33 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
     def block_local(x, p, cos, sin, mask, cache):
         b, s, _ = x.shape
         pl_ = {k: _local_view(v, d, row=k in ("o", "down"))
-               if isinstance(v, dict) and "w" in v else v for k, v in p.items()}
-        # folded params (fold_llama_norms) carry None norms: run the
-        # weightless rmsnorm in XLA (the in-kernel pre_norm path is not
-        # plumbed through shard_map; correctness over peak TP decode speed)
-        attn_in = _rms_maybe(x, pl_["input_norm"], cfg.rms_norm_eps)
-        q = linear(attn_in, pl_["q"]).reshape(b, s, h_loc, hd)
-        k = linear(attn_in, pl_["k"]).reshape(b, s, kv_loc, hd)
-        v = linear(attn_in, pl_["v"]).reshape(b, s, kv_loc, hd)
+               if isinstance(v, FusedLinear) or (isinstance(v, dict) and "w" in v)
+               else v for k, v in p.items()}
+        # folded params (fold_llama_norms) carry None norms: the weightless
+        # rmsnorm runs INSIDE the fused kernel (pre_norm), exactly as in the
+        # single-chip _block (models/llama.py:116-131) -- x is replicated at
+        # the column-parallel linears inside the shard_map body, so the
+        # per-shard norm equals the global one; row-parallel o/down take no
+        # norm.  This recovers the ~37 us/layer the round-3 prenorm fusion
+        # removed from the single-chip path (probe_glue.py).
+        eps = cfg.rms_norm_eps
+        pre_attn = eps if pl_.get("input_norm") is None else None
+        attn_in = x if pre_attn is not None else rmsnorm(
+            x, pl_["input_norm"], eps)
+        if "qkv" in pl_:
+            # shard-blocked fused projection (fuse_projections_tp): one wide
+            # kernel call per shard, shard-local spans
+            q, k, v = pl_["qkv"].apply(attn_in, pre_norm=pre_attn)
+            q = q.reshape(b, s, h_loc, hd)
+            k = k.reshape(b, s, kv_loc, hd)
+            v = v.reshape(b, s, kv_loc, hd)
+        else:
+            q = linear(attn_in, pl_["q"], pre_norm=pre_attn).reshape(
+                b, s, h_loc, hd)
+            k = linear(attn_in, pl_["k"], pre_norm=pre_attn).reshape(
+                b, s, kv_loc, hd)
+            v = linear(attn_in, pl_["v"], pre_norm=pre_attn).reshape(
+                b, s, kv_loc, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if cache is not None:
@@ -205,11 +331,15 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
         o_part = linear(attn.reshape(b, s, h_loc * hd), pl_["o"])
         x = x + jax.lax.psum(o_part, axis)
 
-        mlp_in = _rms_maybe(x, pl_["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(mlp_in, pl_["gate"]).astype(jnp.float32)).astype(
-            x.dtype
-        )
-        up = linear(mlp_in, pl_["up"])
+        pre_mlp = eps if pl_.get("post_norm") is None else None
+        mlp_in = x if pre_mlp is not None else rmsnorm(
+            x, pl_["post_norm"], eps)
+        if "gate_up" in pl_:
+            gate, up = pl_["gate_up"].apply(mlp_in, pre_norm=pre_mlp)
+        else:
+            gate = linear(mlp_in, pl_["gate"], pre_norm=pre_mlp)
+            up = linear(mlp_in, pl_["up"], pre_norm=pre_mlp)
+        gate = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
         down_part = linear(gate * up, pl_["down"])
         x = x + jax.lax.psum(down_part, axis)
         return x, cache
@@ -240,7 +370,9 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
         for p in params["layers"]:
             sp = {}
             for key, v in p.items():
-                if isinstance(v, dict) and "w" in v:
+                if isinstance(v, FusedLinear) or (
+                    isinstance(v, dict) and "w" in v
+                ):
                     sp[key] = _linear_specs(v, row=key in ("o", "down"))
                 else:
                     sp[key] = P()

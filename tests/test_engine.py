@@ -311,3 +311,48 @@ class TestChunkedServe:
         dense = _engine(cfg, params).serve(reqs, max_new_tokens=4)
         eng = _engine(cfg, params, kv=dict(paged=True, page_size=4))
         assert eng.serve(reqs, max_new_tokens=4, chunk=4) == dense
+
+
+class TestChunkedGenerate:
+    """generate()'s chunked device-side decode must be output-identical to
+    the per-token loop (same rng split sequence, post-EOS discard)."""
+
+    def _eng(self, cfg, params, chunk):
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64),
+                            max_batch_size=4, decode_chunk=chunk)
+        return InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg)
+
+    def test_greedy_matches_per_token(self, tiny_model):
+        cfg, params = tiny_model
+        prompts = [[1, 7, 3, 9, 2], [5, 2]]
+        a = self._eng(cfg, params, 1).generate(prompts, max_new_tokens=9)
+        b = self._eng(cfg, params, 4).generate(prompts, max_new_tokens=9)
+        assert a == b
+
+    def test_sampling_matches_per_token(self, tiny_model):
+        cfg, params = tiny_model
+        prompts = [[4, 4, 1], [9]]
+        a = self._eng(cfg, params, 1).generate(
+            prompts, max_new_tokens=7, temperature=0.8, top_k=5, seed=3)
+        b = self._eng(cfg, params, 3).generate(
+            prompts, max_new_tokens=7, temperature=0.8, top_k=5, seed=3)
+        assert a == b
+
+    def test_eos_stops_rows_identically(self, tiny_model):
+        cfg, params = tiny_model
+        # pick an eos token that actually occurs: run greedy once, use the
+        # 3rd generated token as eos for the comparison runs
+        probe = self._eng(cfg, params, 1).generate([[1, 7, 3]],
+                                                   max_new_tokens=6)[0]
+        eos = probe[2]
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=64),
+                            max_batch_size=4, decode_chunk=1)
+        e1 = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg,
+                             eos_token=eos)
+        ecfg4 = EngineConfig(kv=KVCacheConfig(max_seq_len=64),
+                             max_batch_size=4, decode_chunk=4)
+        e4 = InferenceEngine(params, cfg, llama_forward, engine_cfg=ecfg4,
+                             eos_token=eos)
+        prompts = [[1, 7, 3], [5, 2, 8]]
+        assert e1.generate(prompts, max_new_tokens=6) == \
+            e4.generate(prompts, max_new_tokens=6)

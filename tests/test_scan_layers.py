@@ -167,3 +167,142 @@ def test_quantized_kv_stacked(model, tokens):
     logits, caches_s = llama_forward_scan(stacked, tokens, cfg, caches=caches_s)
     assert np.isfinite(np.asarray(logits)).all()
     assert int(caches_s.length[0]) == 12
+
+
+class TestStackedSlotLocal:
+    """Round-4: stacked scan caches support slot-local timelines + valid
+    masks, so serve() (continuous batching) can ride the scan path."""
+
+    def _kv(self, bits=16):
+        return KVCacheConfig(max_seq_len=32, kv_bits=bits, kv_group_size=16)
+
+    @pytest.mark.parametrize("bits", [16, 8, 4])
+    def test_slot_local_valid_matches_flat(self, model, bits):
+        """Layer-by-layer stacked writes with [B] lengths + valid must equal
+        the flat per-layer views' writes."""
+        from iron_weight_only_quant_tpu.engine.kvcache import (
+            StackedCacheAt,
+            update_and_fetch,
+        )
+
+        cfg, _ = model
+        rng = np.random.default_rng(7)
+        b, s, h, d = 2, 4, cfg.num_kv_heads, cfg.hd
+        L = cfg.num_layers
+        flat = make_caches(L, b, h, d, self._kv(bits), jnp.float32)
+        stacked = make_stacked_caches(L, b, h, d, self._kv(bits), jnp.float32)
+
+        lens = jnp.asarray([3, 0], jnp.int32)
+        valid = jnp.asarray([2, 4], jnp.int32)
+        # stamp slot-local lengths/valid the way the engine does
+        from iron_weight_only_quant_tpu.engine.engine import _stamp
+
+        flat = _stamp(flat, lens, valid, None)
+        stacked = _stamp(stacked, lens, valid, None)
+
+        outs_flat, outs_stacked = [], []
+        for l in range(L):
+            k_new = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+            v_new = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+            flat[l], kf, vf = update_and_fetch(flat[l], k_new, v_new)
+            sc, ks, vs = update_and_fetch(StackedCacheAt(stacked, l),
+                                          k_new, v_new)
+            stacked = sc.caches
+            outs_flat.append((kf, vf))
+            outs_stacked.append((ks, vs))
+        for (kf, vf), (ks, vs) in zip(outs_flat, outs_stacked):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(ks),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vs),
+                                       atol=1e-6)
+        # lengths advanced by the per-slot valid counts on every layer
+        np.testing.assert_array_equal(
+            np.asarray(stacked.length),
+            np.tile(np.asarray(lens + valid), (L, 1)))
+
+    def test_slot_local_no_valid_matches_flat(self, model):
+        """[B] lengths without valid: every slot writes all S tokens at its
+        own columns (the chunk-phase write pattern)."""
+        from iron_weight_only_quant_tpu.engine.engine import _stamp
+        from iron_weight_only_quant_tpu.engine.kvcache import (
+            StackedCacheAt,
+            update_and_fetch,
+        )
+
+        cfg, _ = model
+        rng = np.random.default_rng(8)
+        b, s, h, d = 2, 1, cfg.num_kv_heads, cfg.hd
+        L = cfg.num_layers
+        flat = make_caches(L, b, h, d, self._kv(8), jnp.float32)
+        stacked = make_stacked_caches(L, b, h, d, self._kv(8), jnp.float32)
+        lens = jnp.asarray([5, 2], jnp.int32)
+        flat = _stamp(flat, lens, None, None)
+        stacked = _stamp(stacked, lens, None, None)
+        for l in range(L):
+            k_new = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+            v_new = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+            flat[l], kf, vf = update_and_fetch(flat[l], k_new, v_new)
+            sc, ks, vs = update_and_fetch(StackedCacheAt(stacked, l),
+                                          k_new, v_new)
+            stacked = sc.caches
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(ks),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vs),
+                                       atol=1e-6)
+
+
+class TestServeOnScan:
+    """serve() with stacked (scan-over-layers) params must match the flat
+    engine token-for-token -- the 13B/70B serving configuration."""
+
+    @pytest.mark.parametrize("kv_bits", [16, 8])
+    def test_serve_scan_matches_flat(self, model, kv_bits):
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+        cfg, params = model
+        stacked = stack_llama_layers(params)
+        ecfg = EngineConfig(
+            kv=KVCacheConfig(max_seq_len=32, kv_bits=kv_bits,
+                             kv_group_size=16),
+            max_batch_size=2,
+        )
+        eng_flat = InferenceEngine(params, cfg, llama_forward,
+                                   engine_cfg=ecfg)
+        eng_scan = InferenceEngine(stacked, cfg, llama_forward_scan,
+                                   engine_cfg=ecfg)
+        reqs = [[1, 7, 3, 9, 2], [5, 2], [8, 8, 1], [4, 4, 4, 4, 4, 4]]
+        a = eng_flat.serve(reqs, max_new_tokens=5, chunk=3)
+        b = eng_scan.serve(reqs, max_new_tokens=5, chunk=3)
+        assert a == b
+
+    def test_generate_scan_matches_flat(self, model):
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+        cfg, params = model
+        stacked = stack_llama_layers(params)
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=32),
+                            max_batch_size=2)
+        eng_flat = InferenceEngine(params, cfg, llama_forward,
+                                   engine_cfg=ecfg)
+        eng_scan = InferenceEngine(stacked, cfg, llama_forward_scan,
+                                   engine_cfg=ecfg)
+        prompts = [[1, 7, 3], [5, 2, 8, 9]]
+        assert eng_flat.generate(prompts, max_new_tokens=4) == \
+            eng_scan.generate(prompts, max_new_tokens=4)
+
+    def test_serve_scan_paged_rejected(self, model):
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+        cfg, params = model
+        stacked = stack_llama_layers(params)
+        ecfg = EngineConfig(
+            kv=KVCacheConfig(max_seq_len=32, paged=True, page_size=8),
+            max_batch_size=2,
+        )
+        eng = InferenceEngine(stacked, cfg, llama_forward_scan,
+                              engine_cfg=ecfg)
+        with pytest.raises(NotImplementedError):
+            eng.generate([[1, 2, 3]], max_new_tokens=2)

@@ -158,3 +158,103 @@ class TestOtherFamilies:
         prompts = [[3, 9, 4], [7, 2]]
         assert e_tp.generate(prompts, max_new_tokens=3) == \
             e_ref.generate(prompts, max_new_tokens=3)
+
+
+class TestPrenormAndFusionTP:
+    """Round-4: the multi-chip path keeps the single-chip serving wins --
+    in-kernel prenorm (folded norms) and fused qkv/gate_up projections."""
+
+    def _folded_qparams(self, cfg, d=2):
+        from iron_weight_only_quant_tpu.models.llama import fold_llama_norms
+
+        params = llama_init(cfg, jax.random.PRNGKey(7))
+        # non-trivial gammas so folding is actually exercised
+        rng = np.random.default_rng(3)
+        for p in params["layers"]:
+            p["input_norm"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, cfg.hidden_size), jnp.float32)
+            p["post_norm"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, cfg.hidden_size), jnp.float32)
+        folded = fold_llama_norms(params)
+        spec = QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        return shard_llama_params(folded, cfg, spec, d=d)
+
+    def test_folded_params_match_single_chip(self, cpu_devices):
+        """tp_block with None norms (pre_norm path) equals llama_forward on
+        the same folded quantized params."""
+        cfg = LlamaConfig.tiny()
+        qp = self._folded_qparams(cfg)
+        mesh = make_mesh(MeshConfig(data=1, model=2))
+        rng = np.random.default_rng(4)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 8)), jnp.int32)
+        tp_fwd = make_tp_llama_forward(cfg, mesh)
+        a, _ = tp_fwd(qp, toks)
+        b, _ = llama_forward(qp, toks, cfg)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+    def test_fused_tp_matches_unfused(self, cpu_devices):
+        from iron_weight_only_quant_tpu.parallel.tp_block import (
+            fuse_projections_tp,
+        )
+
+        cfg = LlamaConfig.tiny()
+        qp = self._folded_qparams(cfg)
+        fused = fuse_projections_tp(qp, d=2)
+        l0 = fused["layers"][0]
+        assert "qkv" in l0 and "gate_up" in l0 and "q" not in l0
+        mesh = make_mesh(MeshConfig(data=1, model=2))
+        rng = np.random.default_rng(5)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 8)), jnp.int32)
+        tp_fwd = make_tp_llama_forward(cfg, mesh)
+        a, _ = tp_fwd(fused, toks)
+        b, _ = tp_fwd(qp, toks)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+    def test_fused_tp_cached_decode(self, cpu_devices):
+        from iron_weight_only_quant_tpu.parallel.tp_block import (
+            fuse_projections_tp,
+        )
+
+        cfg = LlamaConfig.tiny()
+        qp = self._folded_qparams(cfg)
+        fused = fuse_projections_tp(qp, d=2)
+        mesh = make_mesh(MeshConfig(data=1, model=2))
+        rng = np.random.default_rng(6)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 6)), jnp.int32)
+        tp_fwd = make_tp_llama_forward(cfg, mesh)
+        kv = KVCacheConfig(max_seq_len=32)
+        ca = make_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv,
+                         jnp.float32)
+        cb = make_caches(cfg.num_layers, 2, cfg.num_kv_heads, cfg.hd, kv,
+                         jnp.float32)
+        la, ca = tp_fwd(fused, toks, caches=ca)
+        lb, cb = tp_fwd(qp, toks, caches=cb)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-4)
+        nxt = jnp.argmax(lb[:, -1:], axis=-1).astype(jnp.int32)
+        la2, _ = tp_fwd(fused, nxt, caches=ca)
+        lb2, _ = tp_fwd(qp, nxt, caches=cb)
+        np.testing.assert_allclose(np.asarray(la2), np.asarray(lb2),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_engine_tp_block_fused_matches_gspmd(self, cpu_devices):
+        """Engine(tp_block=True, fuse_projections=True) must generate the
+        same tokens as the GSPMD engine on folded params."""
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+
+        cfg = LlamaConfig.tiny()
+        qp = self._folded_qparams(cfg)
+        ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=48),
+                            mesh=MeshConfig(data=1, model=2),
+                            max_batch_size=2, fuse_projections=True)
+        eng_tp = InferenceEngine(qp, cfg, llama_forward, family="llama",
+                                 engine_cfg=ecfg, tp_block=True)
+        assert "qkv" in eng_tp.params["layers"][0]
+        eng_ref = InferenceEngine(qp, cfg, llama_forward, family="llama",
+                                  engine_cfg=ecfg)
+        prompts = [[5, 2, 8], [1, 7, 3, 9]]
+        assert eng_tp.generate(prompts, max_new_tokens=4) == \
+            eng_ref.generate(prompts, max_new_tokens=4)
