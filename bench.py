@@ -214,7 +214,13 @@ def _slope_timeit(fn, x, operands, fold="first", iters=(100, 400), reps=3):
 
         return loop
 
-    for scale in (1, 4, 16):
+    # accept a slope only when the hi/lo wall difference is well above the
+    # tunnel's dispatch noise: the ~25 ms fixed dispatch varies by several
+    # ms between invocations, and a small-but-positive garbage slope
+    # (total walls ~equal) otherwise passes a bare `> 0` check -- that is
+    # exactly how one r4 bench run printed a 129 TB/s "stream"
+    MIN_DIFF_S = 0.012
+    for scale in (1, 4, 16, 64):
         lo_n, hi_n = iters[0] * scale, iters[1] * scale
         lo, hi = make(lo_n), make(hi_n)
 
@@ -227,11 +233,13 @@ def _slope_timeit(fn, x, operands, fold="first", iters=(100, 400), reps=3):
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        slope = (run(hi) - run(lo)) / (hi_n - lo_n)
-        if slope > 0:
+        diff = run(hi) - run(lo)
+        slope = diff / (hi_n - lo_n)
+        if slope > 0 and diff >= MIN_DIFF_S:
             return slope
-        print(f"warning: non-positive kernel timing slope at iters="
-              f"({lo_n},{hi_n}); escalating", file=sys.stderr)
+        print(f"warning: unresolved kernel timing slope at iters="
+              f"({lo_n},{hi_n}) (diff {diff * 1e3:.1f} ms); escalating",
+              file=sys.stderr)
     return None
 
 
@@ -693,6 +701,38 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    import os
+    import time as _time
+
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "bench_13b.json")
+    if args.model == "13b":
+        # sidecar for the default (7b) run to embed: the 13B build+measure
+        # cycle is too long to put inside every driver bench invocation
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        result["recorded_unix"] = int(_time.time())
+        with open(side, "w") as f:
+            json.dump(result, f, indent=1)
+    elif args.model == "7b" and not args.small and os.path.exists(side):
+        try:
+            with open(side) as f:
+                r13 = json.load(f)
+            d13 = r13.get("detail", {})
+            result["detail"]["serve_13b"] = {
+                "toks_per_s": r13.get("value"),
+                "per_step_ms": d13.get("per_step_ms"),
+                "roofline_fraction": d13.get("roofline_fraction"),
+                "serve_toks_per_s": d13.get("serve_toks_per_s"),
+                "serve_forward": d13.get("serve_forward"),
+                "serve_ttft_p50_ms": d13.get("serve_ttft_p50_ms"),
+                "serve_tpot_p50_ms": d13.get("serve_tpot_p50_ms"),
+                "recorded_unix": r13.get("recorded_unix"),
+                "source": "benchmarks/bench_13b.json "
+                          "(python bench.py --model 13b)",
+            }
+        except Exception as e:
+            print(f"warning: could not embed 13b sidecar: {e}",
+                  file=sys.stderr)
     print(json.dumps(result))
 
 

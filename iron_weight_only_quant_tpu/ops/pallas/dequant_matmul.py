@@ -51,7 +51,12 @@ def _pick_tn(n: int) -> Optional[int]:
     return None
 
 
-_TILE_BYTES_CAP = 3 * 2**20  # measured knee: >3MB tiles starve the pipeline
+_TILE_BYTES_CAP = int(os.environ.get(
+    "IWOQ_TILE_BYTES_CAP", str(3 * 2**20)
+))  # measured knee: >3MB tiles starve the pipeline; env is a probe knob
+# preferred largest K-tile (packed rows); probe knob for per-shape tile
+# sweeps (scripts/probe_13b_tiles.py) -- 0 disables the preference window
+_TPK_CAP = int(os.environ.get("IWOQ_TPK_CAP", "2048"))
 
 # Small-K-tile shapes (tpk=128: 11008-K down-proj -> 43 odd packed tiles)
 # stream measurably faster through the scalar-prefetch grid-spec pipeline
@@ -925,7 +930,7 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
     # nothing between 128 and 5504, and forcing 128 regressed the 7B
     # headline 186 -> 235 us/layer -- keep the uncapped pick there.
     limit = min(kp, budget_rows)
-    cap = min(limit, max(base, 2048))
+    cap = min(limit, max(base, _TPK_CAP)) if _TPK_CAP else limit
     tpk = tpk_capped = base
     cand = base
     while cand <= limit:
@@ -934,7 +939,7 @@ def _plan_k(kp: int, rows: int, k: int, tn: int, tm: int, slabs: int):
             if cand <= cap:
                 tpk_capped = cand
         cand += base
-    if tpk_capped >= 256:
+    if _TPK_CAP and tpk_capped >= 256:
         tpk = tpk_capped
     rs = max(1, tpk // g) if g is not None else 1
     g_target = tpk // rs
