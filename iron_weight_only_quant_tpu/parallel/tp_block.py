@@ -40,6 +40,27 @@ from ..quantize.qtensor import QuantizedTensor, concat_n
 from ..quantize.rtn import quantize_tensor
 
 
+def _vma_kwargs():
+    """shard_map kwargs disabling varying-manual-axes checking: pallas_call
+    outputs carry no vma metadata, so jax's default check_vma=True rejects
+    any fused kernel inside the shard_map body on the real chip (CPU tests
+    never reach the pallas path, which is why only TPU runs tripped it)."""
+    import inspect
+
+    try:
+        params = inspect.signature(shard_map).parameters
+    except (ValueError, TypeError):  # pragma: no cover
+        return {}
+    if "check_vma" in params:
+        return {"check_vma": False}
+    if "check_rep" in params:  # pragma: no cover - older jax
+        return {"check_rep": False}
+    return {}  # pragma: no cover
+
+
+_SMAP_KW = _vma_kwargs()
+
+
 # per family: (column-parallel keys, row-parallel keys)
 _FAMILY_LINEARS = {
     "llama": (("q", "k", "v", "gate", "up"), ("o", "down")),
@@ -390,7 +411,7 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
             raise NotImplementedError("tied lm head under tp_block")
 
         @partial(
-            shard_map, mesh=mesh,
+            shard_map, mesh=mesh, **_SMAP_KW,
             in_specs=(param_specs_tree, P(), cache_spec, P(), P(), P()),
             out_specs=(P(None, None, axis), cache_spec),
         )
@@ -518,7 +539,7 @@ def make_tp_opt_forward(cfg, mesh: Mesh, axis: str = "model"):
         cache_spec = _cache_specs(caches, axis)
 
         @partial(
-            shard_map, mesh=mesh,
+            shard_map, mesh=mesh, **_SMAP_KW,
             in_specs=(param_specs_tree, P(), cache_spec, P(), P()),
             out_specs=(P(), cache_spec),
         )
@@ -599,7 +620,7 @@ def make_tp_bloom_forward(cfg, mesh: Mesh, axis: str = "model"):
         cache_spec = _cache_specs(caches, axis)
 
         @partial(
-            shard_map, mesh=mesh,
+            shard_map, mesh=mesh, **_SMAP_KW,
             in_specs=(param_specs_tree, P(), cache_spec, P()),
             out_specs=(P(), cache_spec),
         )

@@ -88,19 +88,30 @@ def main():
         def tp_fwd(params, toks, caches, _tpf=tpf):
             return _tpf(params, toks, caches=caches)
 
+        def tpu_fwd(params, toks, caches, _tpf=tpf):
+            return _tpf(params, toks, caches=caches)
+
         pairs[f"plain{L}"] = (make_runner(cfg, plain_p, plain_fwd, T_LO),
                               make_runner(cfg, plain_p, plain_fwd, T_HI))
         pairs[f"tpb{L}"] = (make_runner(cfg, tp_p, tp_fwd, T_LO),
                             make_runner(cfg, tp_p, tp_fwd, T_HI))
+        # unfused tp_block (prenorm still in-kernel): locates whether the
+        # d=1 overhead is fusion-layout or shard_map-structural
+        base_p = build_quantized_llama(cfg, jax.random.PRNGKey(0), spec,
+                                       jnp.bfloat16)
+        pairs[f"tpbu{L}"] = (make_runner(cfg, base_p, tpu_fwd, T_LO),
+                             make_runner(cfg, base_p, tpu_fwd, T_HI))
 
     slopes = interleaved_decode_slopes(pairs, T_LO, T_HI)
     pl_plain = (slopes["plain16"] - slopes["plain4"]) / 12
     pl_tpb = (slopes["tpb16"] - slopes["tpb4"]) / 12
+    pl_tpbu = (slopes["tpbu16"] - slopes["tpbu4"]) / 12
     print(f"step slopes (ms): " +
           ", ".join(f"{k}={v * 1e3:.3f}" for k, v in slopes.items()))
     print(f"per-layer: plain {pl_plain * 1e6:.1f} us, tp_block(d=1) "
-          f"{pl_tpb * 1e6:.1f} us, overhead "
-          f"{(pl_tpb / pl_plain - 1) * 100:+.1f}%")
+          f"{pl_tpb * 1e6:.1f} us ({(pl_tpb / pl_plain - 1) * 100:+.1f}%), "
+          f"tp_block-unfused {pl_tpbu * 1e6:.1f} us "
+          f"({(pl_tpbu / pl_plain - 1) * 100:+.1f}%)")
 
 
 if __name__ == "__main__":
