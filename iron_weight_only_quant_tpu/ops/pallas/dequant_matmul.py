@@ -54,9 +54,15 @@ def _pick_tn(n: int) -> Optional[int]:
 _TILE_BYTES_CAP = int(os.environ.get(
     "IWOQ_TILE_BYTES_CAP", str(3 * 2**20)
 ))  # measured knee: >3MB tiles starve the pipeline; env is a probe knob
-# preferred largest K-tile (packed rows); probe knob for per-shape tile
-# sweeps (scripts/probe_13b_tiles.py) -- 0 disables the preference window
-_TPK_CAP = int(os.environ.get("IWOQ_TPK_CAP", "2048"))
+# preferred largest K-tile (packed rows); 0 = no preference window (take
+# the largest VMEM-feasible divisor).  Round-3 shipped 2048 because the
+# 13B kp=6912 whole-K plan e2e-measured badly -- but that window also
+# carried the per-call side-pad copy bug, and the clean stacked-rotation
+# sweep (scripts/probe_13b_tiles.py, round 4) shows whole-K wins EVERY
+# 13B shape: down 571->653 GB/s, gate/up 529->610, qkvo 564->581.  The 7B
+# plans are unchanged either way (no mid-range divisors).  Env knob kept
+# for sweeps.
+_TPK_CAP = int(os.environ.get("IWOQ_TPK_CAP", "0"))
 
 # Small-K-tile shapes (tpk=128: 11008-K down-proj -> 43 odd packed tiles)
 # stream measurably faster through the scalar-prefetch grid-spec pipeline
