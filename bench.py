@@ -661,13 +661,25 @@ def main():
     dense_gbps = layer_weight_bytes(cfg, False) / per_layer_bf16 / 1e9
     roofline_frac = w4_gbps / dense_gbps
 
-    kroof = None
+    kroof = kroof70 = None
     if not args.no_kernel_roofline and not args.small:
         try:
             kroof = kernel_roofline(spec)
         except Exception as e:  # never lose the headline to a microbench
             print(f"warning: kernel_roofline failed: {e}", file=sys.stderr)
             kroof = {"error": str(e)[:200]}
+        if args.model != "13b":
+            # 70B-shape evidence (VERDICT r3 item 3a): the real GQA decode
+            # shapes of LlamaConfig.llama2_70b() -- q/o 8192x8192, fused kv
+            # 8192x2048, gate/up 8192x28672, down 28672x8192
+            try:
+                kroof70 = kernel_roofline(
+                    spec, shapes=((8192, 8192), (8192, 2048),
+                                  (8192, 28672), (28672, 8192)), rounds=3)
+            except Exception as e:
+                print(f"warning: 70b kernel_roofline failed: {e}",
+                      file=sys.stderr)
+                kroof70 = {"error": str(e)[:200]}
 
     qhead_stats = {}
     if qhead and not args.small:
@@ -696,6 +708,7 @@ def main():
             "lm_head": ("int4-g128 packed" if qhead else "dense bf16"),
             **qhead_stats,
             **({"kernel_roofline": kroof} if kroof else {}),
+            **({"kernel_roofline_70b_shapes": kroof70} if kroof70 else {}),
             **(serve_stats or {}),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
             "device": str(jax.devices()[0]),
