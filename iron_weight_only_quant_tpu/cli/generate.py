@@ -34,6 +34,12 @@ def main(argv=None):
     ap.add_argument("--no_fuse", action="store_true",
                     help="disable fused qkv/gate_up serving artifacts "
                          "(exact; ~20 us/layer decode win on v5e)")
+    ap.add_argument("--no_tp_block", action="store_true",
+                    help="multi-chip: use GSPMD auto-partitioning instead "
+                         "of the explicit shard_map forward (tp_block runs "
+                         "the fused Pallas kernels per shard -- GSPMD "
+                         "cannot partition pallas_call, so it serves "
+                         "through the slower XLA dequant path)")
     args = ap.parse_args(argv)
     apply_platform(args)
 
@@ -45,7 +51,10 @@ def main(argv=None):
                          kv_bits=args.kv_bits, kv_group_size=args.kv_group_size),
         fuse_projections=not args.no_fuse and family == "llama",
     )
-    engine = InferenceEngine(params, cfg, fwd, family=family, engine_cfg=ecfg)
+    tp_block = (not args.no_tp_block and args.model_parallel > 1
+                and family in ("llama", "opt", "bloom"))
+    engine = InferenceEngine(params, cfg, fwd, family=family,
+                             engine_cfg=ecfg, tp_block=tp_block)
 
     tok = None
     if args.model_path:
