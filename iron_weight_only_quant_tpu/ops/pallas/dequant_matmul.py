@@ -447,6 +447,66 @@ def _int3_kernel(*refs, rsa: int, rsb: int, nk: int, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _int3_kernel_a16(*refs, rsa: int, rsb: int, nk: int, out_dtype):
+    """A16 variant of the s21 3-bit kernel: the 12 masked code arrays are
+    already narrow integers, so they feed the int8 MXU raw against the
+    split-plane activations.  refs layout: xa_a0..3, xb_a0..3 (hi/lo planes
+    for the four 2-bit fields), xa_b0..7, xb_b0..7 (planes for the MSB
+    bits), qa, qb, s, z, o, acc; same mult/zshift folding as the bf16
+    kernel (``_group_accum_a16`` owns the 256-recombination)."""
+    xa_a = refs[0:4]
+    xb_a = refs[4:8]
+    xa_b = refs[8:16]
+    xb_b = refs[16:24]
+    qa_ref, qb_ref, s_ref, z_ref, o_ref, acc_ref = refs[24:30]
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = qa_ref[:]
+    a_i8 = jax.lax.bitcast_convert_type(a, jnp.int8)
+    b = qb_ref[:]
+    b_i8 = jax.lax.bitcast_convert_type(b, jnp.int8)
+    ga = a.shape[0] // rsa
+    gb = b.shape[0] // rsb
+    acc = acc_ref[:]
+
+    a_fields = [
+        ((a & 0x03).astype(jnp.int8), 1.0, 0.0),
+        ((a & 0x0C).astype(jnp.int8), 1.0 / 4.0, 0.0),
+        ((a & 0x30).astype(jnp.int8), 1.0 / 16.0, 0.0),
+        (a_i8 & jnp.int8(-64), 1.0 / 64.0, 2.0),
+    ]
+    for j, (codes, mult, zshift) in enumerate(a_fields):
+        acc = _group_accum_a16(acc, xa_a[j][:], xb_a[j][:], codes,
+                               _flat_sz(s_ref, z_ref, (j * nk + kk) * rsa),
+                               rsa, ga, mult=mult, zshift=zshift)
+
+    for i in range(8):
+        if i < 7:
+            codes = (b & (1 << i)).astype(jnp.int8)
+            mult = 4.0 / (1 << i)
+        else:
+            codes = b_i8 & jnp.int8(-128)
+            mult = -4.0 / 128.0
+        acc = _group_accum_a16(acc, xa_b[i][:], xb_b[i][:], codes,
+                               _flat_sz(s_ref, z_ref, (i * nk + kk) * rsb),
+                               rsb, gb, mult=mult, apply_z=False)
+
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _int3_kernel_a16_pfx(l_ref, *args, **kw):
+    del l_ref
+    _int3_kernel_a16(*args, **kw)
+
+
 def _plan_tiles6(n: int, k: int, rows: int, tm: int):
     """(tn, tpb, rs, g_target) for the nq42 fp6 LUT kernel.
 
@@ -520,6 +580,64 @@ def _minifloat_decode(codes_i32, exp_bits: int, mant_bits: int, dtype):
     return jnp.where(expf == 0, sub, normal).astype(dtype)
 
 
+def _lut_a16_mult(fmt) -> Optional[float]:
+    """Scale 2**-t of the exact int8 grid for a minifloat format, or None.
+
+    With ``t = mant_bits + bias - 1`` every exact minifloat value (normal
+    AND subnormal) satisfies ``value * 2**t == +-(mant_full <<
+    (max(exp_field, 1) - 1))`` -- an integer grid.  It fits int8 iff the
+    largest code's integer, ``(2**(mant_bits+1) - 1) << (max_exp_field -
+    1)``, is <= 127: true for fp4 E2M1 (12) / E1M2 (7) and fp6 E2M3 (60).
+    Wide-exponent formats (fp6 E3M2 -> 448, fp8 E4M3 -> 245760) exceed any
+    16-bit fixed point -- the dynamic range is the obstruction, not the
+    implementation -- and stay on the bf16 LUT path (a16_supported)."""
+    top = ((1 << (fmt.mant_bits + 1)) - 1) << max(fmt.max_exp_field - 1, 0)
+    if top > 127:
+        return None
+    return 2.0 ** -(fmt.mant_bits + fmt.bias - 1)
+
+
+def _minifloat_decode_int(codes_i32, exp_bits: int, mant_bits: int):
+    """Integer-grid minifloat decode for the A16 path: the FIGLUT-style
+    pre-alignment (SURVEY C7; reference quant_linear.py:19-81 intent) done
+    in-register.  Returns int8 values ``round(code_to_float(code) * 2**t)``
+    (exact, no rounding, per :func:`_lut_a16_mult`) so the codes feed the
+    int8 MXU raw against the split-plane activations."""
+    sign = (codes_i32 >> (exp_bits + mant_bits)) & 1
+    expf = (codes_i32 >> mant_bits) & ((1 << exp_bits) - 1)
+    mant = codes_i32 & ((1 << mant_bits) - 1)
+    leading = jnp.where(expf == 0, 0, 1)
+    mant_full = (leading << mant_bits) | mant
+    ival = mant_full << (jnp.maximum(expf, 1) - 1)
+    return jnp.where(sign == 1, -ival, ival).astype(jnp.int8)
+
+
+def _lut_accum_a16(acc, xa, xb, ivals, load_sz, rs: int, g: int,
+                   has_z: bool, mult: float):
+    """A16 LUT accumulation: ``w = (ivals * mult) * s (+ z)`` with the
+    activations as split int8 planes (``x ~= s_x * (256*xa + xb)``, see
+    ``_prep_x``); two int8 MXU contractions per group replace the bf16
+    one, exactly as in :func:`_group_accum_a16`."""
+    int_sum = lambda m_: jnp.sum(m_.astype(jnp.int32), axis=1, keepdims=True)
+    for r in range(rs):
+        vg = ivals[r * g : (r + 1) * g, :]
+        xag = xa[:, r * g : (r + 1) * g]
+        xbg = xb[:, r * g : (r + 1) * g]
+        pa = jnp.dot(xag, vg, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        pb = jnp.dot(xbg, vg, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        part = pa * 256.0 + pb
+        s, z = load_sz(r)
+        acc = acc + part * (s.astype(jnp.float32) * mult)
+        if has_z:
+            xsum = (int_sum(xag) * 256 + int_sum(xbg)).astype(jnp.float32)
+            acc = acc + xsum * z.astype(jnp.float32)
+    return acc
+
+
 def _lut_accum(acc, x, vals, load_sz, rs: int, g: int, has_z: bool):
     """LUT-mode accumulation: w = vals * s (+ z), so
     ``x @ w = (x @ vals) * s + xsum * z`` per group."""
@@ -565,6 +683,46 @@ def _lut4_kernel(x_lo_ref, x_hi_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
     @pl.when(kk == pl.num_programs(2) - 1)
     def _emit():
         o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _lut4_kernel_a16(xa_lo, xa_hi, xb_lo, xb_hi, qw_ref, s_ref, z_ref,
+                     o_ref, acc_ref, *, rs: int, nk: int, out_dtype,
+                     exp_bits: int, mant_bits: int, has_z: bool,
+                     mult: float):
+    """Fused minifloat (4-bit codes) dequant-matmul with A16 split-int8
+    activations: codes decode to the exact int8 grid (``_minifloat_decode_
+    int``) and feed the int8 MXU raw -- FIGLUT-I realized for LUT formats
+    (VERDICT r3 weak #6)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[:]
+    qw_i8 = jax.lax.bitcast_convert_type(qw, jnp.int8)
+    lo = (qw & 0xF).astype(jnp.int32)
+    hi = ((qw_i8 & jnp.int8(-16)).astype(jnp.int32) + 128) >> 4
+    g = qw.shape[0] // rs
+
+    acc = acc_ref[:]
+    acc = _lut_accum_a16(acc, xa_lo[:], xb_lo[:],
+                         _minifloat_decode_int(lo, exp_bits, mant_bits),
+                         _flat_sz(s_ref, z_ref, kk * rs), rs, g, has_z, mult)
+    acc = _lut_accum_a16(acc, xa_hi[:], xb_hi[:],
+                         _minifloat_decode_int(hi, exp_bits, mant_bits),
+                         _flat_sz(s_ref, z_ref, (nk + kk) * rs), rs, g,
+                         has_z, mult)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _lut4_kernel_a16_pfx(l_ref, *args, **kw):
+    del l_ref
+    _lut4_kernel_a16(*args, **kw)
 
 
 def _lut8_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref,
@@ -648,6 +806,53 @@ def _lut6_kernel_pfx(l_ref, *args, **kw):
     _lut6_kernel(*args, **kw)
 
 
+def _lut6_kernel_a16(xa0, xa1, xa2, xa3, xb0, xb1, xb2, xb3,
+                     qa0_ref, qa1_ref, qb_ref, s_ref, z_ref, o_ref, acc_ref,
+                     *, rs: int, nk: int, out_dtype, exp_bits: int,
+                     mant_bits: int, has_z: bool, mult: float):
+    """A16 variant of the nq42 fp6 kernel (fp6 E2M3 only -- the one fp6
+    split whose value grid fits int8, see ``_lut_a16_mult``): same code
+    assembly as :func:`_lut6_kernel`, integer-grid decode, int8 MXU."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a0, a1 = qa0_ref[:], qa1_ref[:]
+    b_i32 = jax.lax.bitcast_convert_type(qb_ref[:], jnp.int8).astype(jnp.int32)
+    g = qb_ref.shape[0] // rs
+    xas = (xa0, xa1, xa2, xa3)
+    xbs = (xb0, xb1, xb2, xb3)
+
+    def lo_nib(a):
+        return (a & 0xF).astype(jnp.int32)
+
+    def hi_nib(a):
+        ai8 = jax.lax.bitcast_convert_type(a, jnp.int8)
+        return ((ai8 & jnp.int8(-16)).astype(jnp.int32) + 128) >> 4
+
+    lows = (lo_nib(a0), lo_nib(a1), hi_nib(a0), hi_nib(a1))
+    acc = acc_ref[:]
+    for j in range(4):
+        hi = (b_i32 >> (2 * j)) & 3
+        ivals = _minifloat_decode_int(lows[j] | (hi << 4), exp_bits,
+                                      mant_bits)
+        acc = _lut_accum_a16(acc, xas[j][:], xbs[j][:], ivals,
+                             _flat_sz(s_ref, z_ref, (j * nk + kk) * rs),
+                             rs, g, has_z, mult)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _lut6_kernel_a16_pfx(l_ref, *args, **kw):
+    del l_ref
+    _lut6_kernel_a16(*args, **kw)
+
+
 def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
                layer_idx=None):
     """pallas_call plumbing for the nq42 fp6 kernel: the packed array is
@@ -656,6 +861,7 @@ def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
     still streams each byte exactly once.  ``layer_idx`` switches to the
     layer-stacked scalar-prefetch variant."""
     stacked = layer_idx is not None
+    a16 = isinstance(x2, tuple)
     tn, tpb, rs, g_target = _plan_tiles6(n, k, rows, tm)
     qb = k // 4
     nk = qb // tpb
@@ -670,10 +876,27 @@ def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
     grid = (m_pad // tm, n // tn, nk)
     common = _common_params(tm, tn, m_pad, n, k, 3 * qb, srows, out_dtype,
                             interpret, index_prefix=1 if stacked else 0)
-    kernel = functools.partial(
-        _lut6_kernel_pfx if stacked else _lut6_kernel,
-        rs=rs, nk=nk, out_dtype=out_dtype,
-        exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+    if a16:
+        kernel = functools.partial(
+            _lut6_kernel_a16_pfx if stacked else _lut6_kernel_a16,
+            rs=rs, nk=nk, out_dtype=out_dtype,
+            exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z,
+            mult=_lut_a16_mult(fmt))
+    else:
+        kernel = functools.partial(
+            _lut6_kernel_pfx if stacked else _lut6_kernel,
+            rs=rs, nk=nk, out_dtype=out_dtype,
+            exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
+
+    def x_operands():
+        if not a16:
+            return [x2] * 4
+        xa, xb = x2
+        return [xa] * 4 + [xb] * 4
+
+    def x_specs(x_spec):
+        specs = [x_spec(j) for j in range(4)]
+        return specs + specs if a16 else specs
 
     if not stacked:
         side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
@@ -686,9 +909,9 @@ def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         a1_spec = pl.BlockSpec((tpb, tn), lambda i, j, kk, s=nk: (s + kk, j))
         b_spec = pl.BlockSpec((tpb, tn),
                               lambda i, j, kk, s=2 * nk: (s + kk, j))
-        in_specs = ([x_spec(j) for j in range(4)]
+        in_specs = (x_specs(x_spec)
                     + [a0_spec, a1_spec, b_spec, side_spec, side_spec])
-        operands = [x2] * 4 + [qt.qweight] * 3 + [scales, zeros]
+        operands = x_operands() + [qt.qweight] * 3 + [scales, zeros]
         return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
                               **common)(*operands)
 
@@ -716,7 +939,7 @@ def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + nk + kk, j))
     b_spec = pl.BlockSpec(
         (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + 2 * nk + kk, j))
-    in_specs = ([x_spec(j) for j in range(4)]
+    in_specs = (x_specs(x_spec)
                 + [a0_spec, a1_spec, b_spec, side_spec, side_spec])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -726,7 +949,7 @@ def _call_lut6(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         scratch_shapes=common.pop("scratch_shapes"),
     )
     common.pop("cost_estimate", None)
-    operands = [x2] * 4 + [qw2] * 3 + [scales2, zeros2]
+    operands = x_operands() + [qw2] * 3 + [scales2, zeros2]
     return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
         lidx, *operands)
 
@@ -877,9 +1100,18 @@ def kernel_supported(qt: QuantizedTensor) -> bool:
 
 def a16_supported(qt: QuantizedTensor) -> bool:
     """Whether the split-int8-plane A16 activation path exists for this
-    artifact's format (int4/int8 affine kernels only; LUT and 3-bit degrade
-    to full-precision activations with a warning)."""
-    return qt.mode != "lut" and _storage_layout_bits(qt) != 3
+    artifact's format.  Affine kernels (int4/int8/3-bit) always qualify;
+    LUT minifloats qualify when their exact value grid fits int8 after the
+    FIGLUT-style ``2**t`` pre-alignment (fp4 E2M1/E1M2, fp6 E2M3 -- see
+    :func:`_lut_a16_mult`).  Wide-exponent LUT formats (fp6 E3M2, fp8)
+    exceed ANY 16-bit fixed-point grid -- a dynamic-range obstruction, not
+    a missing kernel -- and degrade to full-precision activations with a
+    warning."""
+    if qt.mode == "lut":
+        if _storage_layout_bits(qt) not in (4, 6):
+            return False
+        return _lut_a16_mult(qt.spec.float_format) is not None
+    return True
 
 
 def kernel_supported_stacked(qt: QuantizedTensor) -> bool:
@@ -1060,6 +1292,7 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
     70B/80-layer scan serving keeps the fused 3-bit win, VERDICT r2 item 4).
     """
     stacked = layer_idx is not None
+    a16 = isinstance(x2, tuple)
     tn, tpb, rsa, rsb, g_target = _plan_tiles3(n, k, rows, tm,
                                                stacked=stacked)
     tpa = 2 * tpb
@@ -1073,9 +1306,29 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
     grid = (m_pad // tm, n // tn, nk)
     common = _common_params(tm, tn, m_pad, n, k, 3 * qb, srows, out_dtype,
                             interpret, index_prefix=1 if stacked else 0)
-    kernel = functools.partial(
-        _int3_kernel_pfx if stacked else _int3_kernel,
-        rsa=rsa, rsb=rsb, nk=nk, out_dtype=out_dtype)
+    if a16:
+        kernel = functools.partial(
+            _int3_kernel_a16_pfx if stacked else _int3_kernel_a16,
+            rsa=rsa, rsb=rsb, nk=nk, out_dtype=out_dtype)
+    else:
+        kernel = functools.partial(
+            _int3_kernel_pfx if stacked else _int3_kernel,
+            rsa=rsa, rsb=rsb, nk=nk, out_dtype=out_dtype)
+
+    def x_operands():
+        # bf16: one x per slab; a16: hi/lo planes per slab (kernel layout
+        # xa_a0..3, xb_a0..3, xa_b0..7, xb_b0..7)
+        if not a16:
+            return [x2] * 12
+        xa, xb = x2
+        return [xa] * 4 + [xb] * 4 + [xa] * 8 + [xb] * 8
+
+    def x_specs(a_spec, b_spec):
+        a_specs = [a_spec(j) for j in range(4)]
+        b_specs = [b_spec(i) for i in range(8)]
+        if not a16:
+            return a_specs + b_specs
+        return a_specs + a_specs + b_specs + b_specs
 
     if not stacked:
         side_spec = pl.BlockSpec((srows, tn), lambda i, j, kk: (0, j))
@@ -1092,10 +1345,9 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         wa_spec = pl.BlockSpec((tpa, tn), lambda i, j, kk: (kk, j))
         wb_spec = pl.BlockSpec((tpb, tn),
                                lambda i, j, kk, s=(k // 4) // tpb: (s + kk, j))
-        in_specs = ([a_spec(j) for j in range(4)]
-                    + [b_spec(i) for i in range(8)]
+        in_specs = (x_specs(a_spec, b_spec)
                     + [wa_spec, wb_spec, side_spec, side_spec])
-        operands = [x2] * 12 + [qt.qweight, qt.qweight, scales, zeros]
+        operands = x_operands() + [qt.qweight, qt.qweight, scales, zeros]
         return pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
                               **common)(*operands)
 
@@ -1127,8 +1379,7 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
         (tpa, tn), lambda i, j, kk, l, s=(3 * nk) // 2: (l[0] * s + kk, j))
     wb_spec = pl.BlockSpec(
         (tpb, tn), lambda i, j, kk, l, s=3 * nk: (l[0] * s + 2 * nk + kk, j))
-    in_specs = ([a_spec(j) for j in range(4)]
-                + [b_spec(i) for i in range(8)]
+    in_specs = (x_specs(a_spec, b_spec)
                 + [wa_spec, wb_spec, side_spec, side_spec])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1139,7 +1390,7 @@ def _call_int3(x2, qt, m_pad, tm, n, k, rows, out_dtype, interpret,
     )
     # CostEstimate on a PrefetchScalarGridSpec kills DMA overlap (NOTES.md)
     common.pop("cost_estimate", None)
-    operands = [x2] * 12 + [qw2, qw2, scales2, zeros2]
+    operands = x_operands() + [qw2, qw2, scales2, zeros2]
     return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
         lidx, *operands)
 
@@ -1200,7 +1451,7 @@ def fused_quantized_matmul(
             stacklevel=2,
         )
         activation_bits = None
-    if lut and activation_bits is not None:
+    if lut and activation_bits == 8:
         raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad  # stored width
@@ -1258,18 +1509,31 @@ def fused_quantized_matmul(
     if lut:
         fmt = qt.spec.float_format
         if bits == 4:
+            lo_spec = pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk))
+            hi_spec = pl.BlockSpec((tm, tpk),
+                                   lambda i, j, kk, _nk=nk: (i, _nk + kk))
+            w_spec = pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j))
+            if activation_bits == 16:
+                xa, xb = x2
+                kernel = functools.partial(
+                    _lut4_kernel_a16, rs=rs, nk=nk, out_dtype=out_dtype,
+                    exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits,
+                    has_z=has_z, mult=_lut_a16_mult(fmt))
+                out = pl.pallas_call(
+                    kernel,
+                    grid=grid,
+                    in_specs=[lo_spec, hi_spec, lo_spec, hi_spec, w_spec,
+                              *side_specs],
+                    **common,
+                )(xa, xa, xb, xb, qt.qweight, *side_ops)
+                return _finish(out, x, qt, m, m_pad, out_scale)
             kernel = functools.partial(
                 _lut4_kernel, rs=rs, nk=nk, out_dtype=out_dtype,
                 exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
             out = pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec((tm, tpk), lambda i, j, kk: (i, kk)),
-                    pl.BlockSpec((tm, tpk), lambda i, j, kk, _nk=nk: (i, _nk + kk)),
-                    pl.BlockSpec((tpk, tn), lambda i, j, kk: (kk, j)),
-                    *side_specs,
-                ],
+                in_specs=[lo_spec, hi_spec, w_spec, *side_specs],
                 **common,
             )(x2, x2, qt.qweight, *side_ops)
         else:
@@ -1430,7 +1694,7 @@ def fused_quantized_matmul_stacked(
             stacklevel=2,
         )
         activation_bits = None
-    if lut and activation_bits is not None:
+    if lut and activation_bits == 8:
         raise NotImplementedError("int8 activations with LUT artifacts")
     k, n_logical = qt.shape
     n = n_logical + qt.n_pad
@@ -1515,11 +1779,22 @@ def fused_quantized_matmul_stacked(
     elif lut:
         fmt = qt.spec.float_format
         if bits == 4:
-            kernel = functools.partial(
-                _lut4_kernel_pfx, rs=rs, nk=nk, out_dtype=out_dtype,
-                exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits, has_z=has_z)
-            in_specs = [xspec_lo, xspec_hi, wspec, side_spec, side_spec]
-            operands = (x2, x2, qw2, scales2, zeros2)
+            if activation_bits == 16:
+                xa, xb = x2
+                kernel = functools.partial(
+                    _lut4_kernel_a16_pfx, rs=rs, nk=nk, out_dtype=out_dtype,
+                    exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits,
+                    has_z=has_z, mult=_lut_a16_mult(fmt))
+                in_specs = [xspec_lo, xspec_hi, xspec_lo, xspec_hi, wspec,
+                            side_spec, side_spec]
+                operands = (xa, xa, xb, xb, qw2, scales2, zeros2)
+            else:
+                kernel = functools.partial(
+                    _lut4_kernel_pfx, rs=rs, nk=nk, out_dtype=out_dtype,
+                    exp_bits=fmt.exp_bits, mant_bits=fmt.mant_bits,
+                    has_z=has_z)
+                in_specs = [xspec_lo, xspec_hi, wspec, side_spec, side_spec]
+                operands = (x2, x2, qw2, scales2, zeros2)
         else:
             kernel = functools.partial(
                 _lut8_kernel_pfx, rs=rs, out_dtype=out_dtype,
