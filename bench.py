@@ -381,7 +381,12 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
     from iron_weight_only_quant_tpu.models import llama_forward
     from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
 
-    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=128),
+    # size the cache to the workload: prompts <= 64 + 32 new = 96 columns.
+    # t_max 64 -> 128 measured +0.41 ms/step of cache-decode + attention
+    # traffic (scripts/probe_chunk_gap.py), so the spare 32 columns of a
+    # 128 cache were pure overhead
+    t_need = max(len(r) for r in reqs) + max_new
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=t_need),
                         max_batch_size=nslots)
     eng = InferenceEngine(params, cfg,
                           llama_forward_scan if scan else llama_forward,
@@ -430,6 +435,12 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
         "serve_device_steps": stats.get("n_steps", 0),
         "serve_util_gen": round(n_generated / slot_steps, 3),
         "serve_util": round((n_generated + n_prompt) / slot_steps, 3),
+        # wall split by phase (combo waves carry prefill compute; chunks are
+        # pure decode) -- NOTE: from the LAST of the 3 runs, not the best
+        "serve_t_combos_s": stats.get("t_combos_s", 0.0),
+        "serve_t_chunks_s": stats.get("t_chunks_s", 0.0),
+        "serve_n_combos": stats.get("n_combos", 0),
+        "serve_n_chunks": stats.get("n_chunks", 0),
         **lat,
     }
 

@@ -646,7 +646,8 @@ class InferenceEngine:
         prefill_cap = max(8, self.engine_cfg.prefill_chunk)
         if stats is not None:
             stats.update(n_combos=0, n_chunks=0, n_steps=0,
-                         n_generated=0, n_prompt_fed=0)
+                         n_generated=0, n_prompt_fed=0,
+                         t_combos_s=0.0, t_chunks_s=0.0)
         while queue or any(r >= 0 for r in slot_req):
             # admit queued requests into idle slots (deferred under paging
             # until the pool has a page for the new request's first column)
@@ -736,7 +737,10 @@ class InferenceEngine:
                     sbkt, c, self.engine_cfg.activation_bits,
                 )
                 out_np = np.asarray(out)
-                sync_t[0] = _time.perf_counter()
+                t_prev, sync_t[0] = sync_t[0], _time.perf_counter()
+                if stats is not None:
+                    stats["t_combos_s"] = round(
+                        stats.get("t_combos_s", 0.0) + sync_t[0] - t_prev, 4)
                 wave_np, sampled = out_np[:, 0], out_np[:, 1:]
                 # device advanced every slot by valid + c; releases below
                 # reset their slots to 0 (admit() also resets)
@@ -786,7 +790,10 @@ class InferenceEngine:
                     c, self.engine_cfg.activation_bits,
                 )
                 sampled = np.asarray(sampled)
-                sync_t[0] = _time.perf_counter()
+                t_prev, sync_t[0] = sync_t[0], _time.perf_counter()
+                if stats is not None:
+                    stats["t_chunks_s"] = round(
+                        stats.get("t_chunks_s", 0.0) + sync_t[0] - t_prev, 4)
                 slot_len += c
             for s in range(nslots):
                 rid = slot_req[s]

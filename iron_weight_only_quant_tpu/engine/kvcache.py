@@ -24,6 +24,18 @@ from ..config import KVCacheConfig
 from ..formats.int_codec import decode_int, encode_int
 from ..models.common import KVCacheView
 
+# slot-local decode write formulation (A/B probe knob, scripts/
+# probe_chunk_gap2.py): "vmap" (vmapped dynamic_update_slice), "scatter"
+# (one batched scatter per buffer -- measured IDENTICAL to vmap on v5e),
+# and two semantics-breaking isolation modes for timing only: "noop"
+# (skip the write) and "scalar" (write every slot at slot 0's column).
+# The serve-vs-static per-step gap at equal t_max measured ~1.0 ms and
+# the 6 per-layer cache writes are the prime suspect.
+import os as _os
+
+_KV_WRITE_MODE = _os.environ.get("IWOQ_KV_WRITE", "vmap")
+_KV_WRITE_SCATTER = _KV_WRITE_MODE == "scatter"
+
 
 @struct.dataclass
 class QuantKVCacheView:
@@ -451,12 +463,30 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
 
         adv = cache.valid
     elif getattr(start, "ndim", 0) == 1:  # slot-local timelines ([B] starts)
-        def upd(buf, val):
-            return jax.vmap(
-                lambda b, v, st: jax.lax.dynamic_update_slice(
-                    b, v.astype(b.dtype), (st, 0, 0)
+        if _KV_WRITE_MODE == "noop":  # timing isolation only
+            def upd(buf, val):
+                return buf
+        elif _KV_WRITE_MODE == "scalar":  # timing isolation only
+            def upd(buf, val):
+                return jax.lax.dynamic_update_slice(
+                    buf, val.astype(buf.dtype), (0, start[0], 0)
                 )
-            )(buf, val, start)
+        elif _KV_WRITE_SCATTER:
+            # one batched scatter per buffer (same form as the valid
+            # branch) instead of a vmapped dynamic_update_slice
+            t = start[:, None] + jnp.arange(s)
+            b_idx = jnp.arange(cache.k_codes.shape[0])[:, None]
+
+            def upd(buf, val):
+                return buf.at[b_idx, t].set(val.astype(buf.dtype),
+                                            mode="drop")
+        else:
+            def upd(buf, val):
+                return jax.vmap(
+                    lambda b, v, st: jax.lax.dynamic_update_slice(
+                        b, v.astype(b.dtype), (st, 0, 0)
+                    )
+                )(buf, val, start)
     else:
         def upd(buf, val):
             return jax.lax.dynamic_update_slice(

@@ -310,6 +310,18 @@ def attend(
         rep = hq // hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    # NOTE (round 4, scripts/probe_chunk_gap*.py, probe_attn_*.py): with
+    # per-slot [B,1] rope positions AND a [B,1,1,T] mask together (the
+    # continuous-batching serve step), this XLA attention runs ~31 us/layer
+    # slower than with either input unbatched -- either alone is FREE.  The
+    # compiled program shows a layout flip on scores (T leaves the lane
+    # dim), a reduce-window softmax rewrite, and full-cache-buffer write
+    # fusions; but fixing each in isolation (squeezed 3-D einsum, additive
+    # f32 mask, barrier-pinned 2-D softmax, scatter/noop writes) measured
+    # WALL-NEUTRAL while shuffling which symptom appears -- the cost is an
+    # XLA memory-space/scheduling interaction, not any single op.  The
+    # serve engine accepts the documented +16%/step rather than carry a
+    # formulation that only moves the symptom (three variants measured).
     scores = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * scale

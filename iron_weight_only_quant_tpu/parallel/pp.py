@@ -100,7 +100,29 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
 
         in_specs = (pp_param_specs(staged_params, axis), P(), P(), P(), P())
 
-        @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+        # the lm_head is vocab-parallel over the stage axis when the head is
+        # a dense [H, V] matrix with V % n_stages == 0 (the scoring path's
+        # usual shape); otherwise every stage computes the full head as
+        # before.  Vocab-parallel: the last stage's final hidden state fans
+        # out to all stages (one [B, S, H] ppermute hop), each stage
+        # computes its V/n_stages column slice, and the out_specs
+        # concatenation assembles the logits -- no stage computes the
+        # full-vocab matmul and the [n_stages, B, S, V] replicated logits
+        # buffer of the naive scheme never materializes.
+        head_w = staged_params.get("lm_head")
+        if cfg.tie_word_embeddings:
+            vocab = staged_params["embed"].shape[0]
+            vocab_parallel = vocab % n_stages == 0
+        else:
+            vocab_parallel = (
+                isinstance(head_w, dict)
+                and isinstance(head_w.get("w"), jnp.ndarray)
+                and head_w["w"].ndim == 2
+                and head_w["w"].shape[1] % n_stages == 0
+            )
+        out_spec = P(None, None, axis) if vocab_parallel else P(axis)
+
+        @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
         def run(params, tokens, cos, sin, mask):
             stage = jax.lax.axis_index(axis)
             local = jax.tree.map(lambda a: a[0], params["stages"])
@@ -143,9 +165,32 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
             (_, outputs), _ = jax.lax.scan(tick, (recv0, out0),
                                            jnp.arange(n_ticks))
 
-            # only the last stage's buffer is meaningful; every stage runs the
-            # (replicated) head so the out_specs stay uniform
+            # only the last stage's buffer is meaningful
             x = outputs.reshape(b, s, h)
+            if vocab_parallel:
+                # broadcast the final hidden state from the last stage (a
+                # masked [B,S,H] psum -- ppermute cannot fan out one source
+                # to all destinations), then vocab-parallel head: stage d
+                # computes logits[..., d*vs:(d+1)*vs], out_specs concatenates
+                x = jax.lax.psum(
+                    jnp.where(stage == n_stages - 1, x, jnp.zeros_like(x)),
+                    axis)
+                x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+                if cfg.tie_word_embeddings:
+                    w = params["embed"].T.astype(x.dtype)
+                else:
+                    w = params["lm_head"]["w"].astype(x.dtype)
+                vs = w.shape[1] // n_stages
+                wl = jax.lax.dynamic_slice_in_dim(w, stage * vs, vs, 1)
+                logits = jnp.dot(x, wl)
+                if (not cfg.tie_word_embeddings
+                        and params["lm_head"].get("b") is not None):
+                    bl = jax.lax.dynamic_slice_in_dim(
+                        params["lm_head"]["b"], stage * vs, vs, 0)
+                    logits = logits + bl
+                return logits
+            # fallback (packed/odd-vocab head): every stage runs the
+            # replicated full head so the out_specs stay uniform
             x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
             if cfg.tie_word_embeddings:
                 logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
@@ -153,6 +198,7 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
                 logits = linear(x, params["lm_head"])
             return logits[None]
 
-        return run(staged_params, tokens, cos, sin, mask)[-1]
+        out = run(staged_params, tokens, cos, sin, mask)
+        return out if vocab_parallel else out[-1]
 
     return forward
