@@ -83,3 +83,22 @@ def test_pp_rejects_bad_split(model4):
     staged = stage_stack_llama_layers(params, 4)
     with pytest.raises(ValueError):
         fwd(staged, jnp.ones((4, 8), jnp.int32))  # 4 % 3 != 0
+
+
+def test_pp_packed_head_falls_back(model4, stage_mesh, tokens):
+    """A packed (QuantizedTensor) lm_head cannot vocab-shard over the
+    stage axis; the replicated-head fallback must still match (round 4:
+    dense divisible heads take the vocab-parallel path, covered above)."""
+    from iron_weight_only_quant_tpu.quantize import quantize_tensor
+
+    cfg, params = model4
+    qhead = quantize_tensor(
+        params["lm_head"]["w"],
+        QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False),
+    )
+    p2 = {**params, "lm_head": {"w": qhead, "b": None}}
+    staged = stage_stack_llama_layers(p2, 4)
+    fwd = make_pp_llama_forward(cfg, stage_mesh, n_microbatches=2)
+    want, _ = llama_forward(p2, cfg=cfg, tokens=tokens)
+    got = fwd(staged, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
