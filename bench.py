@@ -652,9 +652,19 @@ def main():
                                            scan=args.scan)
             if args.scan:
                 serve_stats["serve_forward"] = "scan"
+            # the chunk=32 operating point: ~+10% throughput for 2x the
+            # sync-granularity TPOT (tokens surface to the client every 32
+            # device steps instead of 16) -- recorded so the tradeoff is
+            # on the record, chunk=16 stays the headline serve config
+            s32 = serve_throughput(cfg, params_w4, batch, chunk=32,
+                                   scan=args.scan)
+            serve_stats["serve_c32_toks_per_s"] = s32["serve_toks_per_s"]
+            serve_stats["serve_c32_tpot_p50_ms"] = s32.get(
+                "serve_tpot_p50_ms")
         except Exception as e:  # never lose the headline to the serve bench
             print(f"warning: serve bench failed: {e}", file=sys.stderr)
-            serve_stats = {"serve_error": str(e)[:200]}
+            if serve_stats is None:
+                serve_stats = {"serve_error": str(e)[:200]}
     del params_w4
 
     # roofline accounting (BASELINE.md: >=80% of roofline on every chip):
