@@ -110,6 +110,41 @@ def main():
             if err >= 2e-2:
                 sys.exit(1)
 
+    # ---------------- a16 (split-int8 activation) correctness, round 4:
+    # covers the newly supported families (3-bit, LUT fp4/fp6-e2m3) on
+    # real hardware next to int4
+    from iron_weight_only_quant_tpu.config import fp_spec
+    from iron_weight_only_quant_tpu.ops.pallas.dequant_matmul import (
+        a16_supported,
+    )
+
+    for tag, spec in (
+        ("int4", QuantSpec(fmt="int", bits=4, group_size=128,
+                           symmetric=False)),
+        ("int3", QuantSpec(fmt="int", bits=3, group_size=128,
+                           symmetric=False)),
+        ("fp4-e2m1", fp_spec("fp4", 2, 1, group_size=128)),
+        ("fp6-e2m3", fp_spec("fp6", 2, 3, group_size=128)),
+    ):
+        qt = quantize_tensor(w, spec)
+        assert kernel_supported(qt) and a16_supported(qt), tag
+        for m in (1, 8):
+            x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32),
+                            jnp.bfloat16)
+            y = np.asarray(fused_quantized_matmul(x, qt,
+                                                  activation_bits=16),
+                           np.float32)
+            y_ref = np.asarray(
+                jnp.dot(x, dequantize_weight(qt, jnp.bfloat16),
+                        preferred_element_type=jnp.float32), np.float32
+            )
+            err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-6)
+            status = "ok" if err < 2e-2 else "FAIL"
+            print(f"a16 correctness {tag:9s} m={m}: rel-err {err:.2e} "
+                  f"{status}")
+            if err >= 2e-2:
+                sys.exit(1)
+
     # ---------------- micro-benchmark, LLaMA-7B shapes
     print("\nshape            m  | bf16-XLA    int4-fused  int8-fused | speedup  int4 GB/s (roofline%)")
     for (k, n) in ((4096, 4096), (4096, 11008), (11008, 4096)):
