@@ -35,6 +35,15 @@ import os as _os
 
 _KV_WRITE_MODE = _os.environ.get("IWOQ_KV_WRITE", "vmap")
 _KV_WRITE_SCATTER = _KV_WRITE_MODE == "scatter"
+if _KV_WRITE_MODE in ("noop", "scalar"):  # pragma: no cover - probe only
+    import warnings
+
+    warnings.warn(
+        f"IWOQ_KV_WRITE={_KV_WRITE_MODE}: slot-local KV writes are "
+        "INTENTIONALLY BROKEN (timing-isolation probe mode); generated "
+        "tokens will be garbage",
+        stacklevel=1,
+    )
 
 
 @struct.dataclass
