@@ -25,7 +25,7 @@ import numpy as np
 
 
 def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
-                          prenorm=True):
+                          prenorm=True, stacked=False):
     """Random-init directly on device, quantizing each linear as it is made
     (avoids materializing the dense 7B model or host->device transfers).
 
@@ -67,9 +67,9 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
 
     norm = None if (prenorm and spec is not None) else jnp.ones((h,), dtype)
     keys = iter(jax.random.split(key, 4 + cfg.num_layers * 7))
-    layers = []
-    for _ in range(cfg.num_layers):
-        layers.append({
+
+    def one_layer():
+        return {
             "input_norm": norm,
             "q": qlin(next(keys), h, qdim),
             "k": qlin(next(keys), h, kvdim),
@@ -79,10 +79,34 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
             "gate": qlin(next(keys), h, inter),
             "up": qlin(next(keys), h, inter),
             "down": qlin(next(keys), inter, h),
-        })
+        }
+
+    if stacked:
+        # quantize STRAIGHT into the [L, ...] stacked buffers, one layer at
+        # a time: peak HBM = stacked model + one layer.  Stacking after a
+        # full per-layer build holds one projection kind twice and OOM'd
+        # the 16 GB chip at the 70B-TP4-slice scale (9.6 GB of weights).
+        from iron_weight_only_quant_tpu.models.common import (
+            _stack_fill,
+            pad_stacked_sides,
+        )
+
+        first = one_layer()
+        bufs = jax.tree.map(
+            lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), first)
+        bufs = _stack_fill(bufs, first, jnp.asarray(0, jnp.int32))
+        del first
+        for l in range(1, cfg.num_layers):
+            ly = one_layer()
+            bufs = _stack_fill(bufs, ly, jnp.asarray(l, jnp.int32))
+            del ly
+        body = {"layers_stacked": {k: pad_stacked_sides(v)
+                                   for k, v in bufs.items()}}
+    else:
+        body = {"layers": [one_layer() for _ in range(cfg.num_layers)]}
     return {
         "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
-        "layers": layers,
+        **body,
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": qlin(next(keys), h, cfg.vocab_size, scale=0.02,
                         force_dense=not quantize_lm_head),
@@ -507,7 +531,8 @@ def main():
     ap.add_argument("--no_prenorm", action="store_true",
                     help="disable in-kernel rmsnorm (folded-gamma pre_norm "
                          "path; ~37 us/layer of XLA norm ops, probe_glue.py)")
-    ap.add_argument("--model", default="7b", choices=["7b", "13b"],
+    ap.add_argument("--model", default="7b",
+                    choices=["7b", "13b", "70b_tp8"],
                     help="llama shape to benchmark (13b implies --scan for "
                          "depth-independent compile time)")
     args = ap.parse_args()
@@ -537,6 +562,26 @@ def main():
                           num_layers=40, num_heads=40, num_kv_heads=40)
         ratio_layers = 8
         batch = 8
+    elif args.model == "70b_tp8":
+        # the per-chip slice of LLaMA-2-70B under TP=8 megatron sharding:
+        # 8 of 64 q heads, 1 of 8 kv heads (GQA stays intact per shard),
+        # 3584 of 28672 ffn columns, on the full 8192 residual stream --
+        # exactly the compute one chip runs between the two psums/layer of
+        # tp_block.  The W4 g128 slice is ~4.3 GB, so it fits ONE chip
+        # even alongside this shared chip's co-tenant (the TP=4 slice at
+        # ~9.6 GB nominally fits 16 GB per scripts/plan_70b_memory.py but
+        # OOM'd against tenant allocations here), and the 70B per-chip
+        # decode cost is MEASURED end-to-end, not projected from kernel
+        # shapes.  All TP=8 chips run the same tokens in lockstep, so this
+        # rate IS the projected full-70B TP=8 decode throughput, minus the
+        # unmeasured ICI psums (2x [B,1,8192] bf16 per layer) and the
+        # shard_map wrapper cost (d=1 measured +8.7%/layer,
+        # scripts/probe_tp_block.py).
+        cfg = LlamaConfig(hidden_size=8192, intermediate_size=3584,
+                          num_layers=80, num_heads=8, num_kv_heads=1)
+        ratio_layers = 8
+        batch = 8
+        args.scan = True  # 80 layers: only the scan path is viable
     else:
         cfg = LlamaConfig.llama2_7b()
         ratio_layers = 8  # sub-model both paths fit in HBM for the ratio
@@ -595,20 +640,29 @@ def main():
     qhead = not args.no_qhead
 
     def build(c, sp):
+        if args.scan:
+            if not args.no_fuse and not scan_note[0]:
+                scan_note[0] = True
+                print("note: scan mode skips qkv/gate_up fusion "
+                      "(stacked views take unfused layers)", file=sys.stderr)
+            return build_quantized_llama(
+                c, key, sp, jnp.bfloat16,
+                quantize_lm_head=qhead and sp is not None,
+                prenorm=not args.no_prenorm, stacked=True)
         return prep(build_quantized_llama(
             c, key, sp, jnp.bfloat16,
             quantize_lm_head=qhead and sp is not None,
             prenorm=not args.no_prenorm))
 
     serve_stats = None
-    if args.model == "13b":
-        # three models alive at once exceed HBM at 13B scale: measure
+    if args.model in ("13b", "70b_tp8"):
+        # three models alive at once exceed HBM at this scale: measure
         # sequentially (accepting window drift on the ratio numbers)
         params_w4 = build(cfg, spec)
         t_step = decode_time_per_step(cfg, params_w4, batch,
                                       scan_layers=args.scan)
         if not args.no_serve:
-            # 13B serve rides the scan path (stacked slot-local KV); the
+            # serve rides the scan path (stacked slot-local KV); the
             # model is still resident here, before the ratio twins build
             try:
                 serve_stats = serve_throughput(cfg, params_w4, batch,
@@ -689,7 +743,7 @@ def main():
         except Exception as e:  # never lose the headline to a microbench
             print(f"warning: kernel_roofline failed: {e}", file=sys.stderr)
             kroof = {"error": str(e)[:200]}
-        if args.model != "13b":
+        if args.model == "7b":
             # 70B-shape evidence (VERDICT r3 item 3a): the real GQA decode
             # shapes of LlamaConfig.llama2_70b() -- q/o 8192x8192, fused kv
             # 8192x2048, gate/up 8192x28672, down 28672x8192
@@ -735,38 +789,60 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if args.model == "70b_tp8":
+        result["detail"]["roofline_note"] = (
+            "the dense bf16 twin only streams ~420 GB/s at these narrow "
+            "per-shard shapes (N=1024/3584), so W4/dense exceeds 1; "
+            "w4_stream_gbps vs the 819 GB/s HBM spec is the meaningful "
+            "utilization number for this slice")
+        result["detail"]["slice_note"] = (
+            "per-chip TP=8 slice of llama2-70b (8/64 q heads, 1/8 kv "
+            "heads, 3584/28672 ffn, full 8192 residual): all eight chips "
+            "run these tokens in lockstep, so tokens/s here IS the "
+            "projected full-70B TP=8 decode rate minus ICI psums (2x "
+            "[B,1,8192] bf16/layer) and the shard_map wrapper "
+            "(+8.7%/layer at d=1, scripts/probe_tp_block.py); the lm_head "
+            "here is the full 32000 vocab (real TP vocab-shards it), so "
+            "the fixed cost is conservative")
     import os
     import time as _time
 
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "bench_13b.json")
-    if args.model == "13b":
-        # sidecar for the default (7b) run to embed: the 13B build+measure
-        # cycle is too long to put inside every driver bench invocation
-        os.makedirs(os.path.dirname(side), exist_ok=True)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks")
+    sidecars = {"13b": ("bench_13b.json", "serve_13b"),
+                "70b_tp8": ("bench_70b_tp8.json", "slice_70b_tp8")}
+    if args.model in sidecars:
+        # sidecar for the default (7b) run to embed: these build+measure
+        # cycles are too long to put inside every driver bench invocation
+        os.makedirs(bench_dir, exist_ok=True)
         result["recorded_unix"] = int(_time.time())
-        with open(side, "w") as f:
+        with open(os.path.join(bench_dir, sidecars[args.model][0]),
+                  "w") as f:
             json.dump(result, f, indent=1)
-    elif args.model == "7b" and not args.small and os.path.exists(side):
-        try:
-            with open(side) as f:
-                r13 = json.load(f)
-            d13 = r13.get("detail", {})
-            result["detail"]["serve_13b"] = {
-                "toks_per_s": r13.get("value"),
-                "per_step_ms": d13.get("per_step_ms"),
-                "roofline_fraction": d13.get("roofline_fraction"),
-                "serve_toks_per_s": d13.get("serve_toks_per_s"),
-                "serve_forward": d13.get("serve_forward"),
-                "serve_ttft_p50_ms": d13.get("serve_ttft_p50_ms"),
-                "serve_tpot_p50_ms": d13.get("serve_tpot_p50_ms"),
-                "recorded_unix": r13.get("recorded_unix"),
-                "source": "benchmarks/bench_13b.json "
-                          "(python bench.py --model 13b)",
-            }
-        except Exception as e:
-            print(f"warning: could not embed 13b sidecar: {e}",
-                  file=sys.stderr)
+    elif args.model == "7b" and not args.small:
+        for model, (fname, key) in sidecars.items():
+            side = os.path.join(bench_dir, fname)
+            if not os.path.exists(side):
+                continue
+            try:
+                with open(side) as f:
+                    rs = json.load(f)
+                ds = rs.get("detail", {})
+                result["detail"][key] = {
+                    "toks_per_s": rs.get("value"),
+                    "per_step_ms": ds.get("per_step_ms"),
+                    "roofline_fraction": ds.get("roofline_fraction"),
+                    "serve_toks_per_s": ds.get("serve_toks_per_s"),
+                    "serve_forward": ds.get("serve_forward"),
+                    "serve_ttft_p50_ms": ds.get("serve_ttft_p50_ms"),
+                    "serve_tpot_p50_ms": ds.get("serve_tpot_p50_ms"),
+                    "recorded_unix": rs.get("recorded_unix"),
+                    "source": f"benchmarks/{fname} "
+                              f"(python bench.py --model {model})",
+                }
+            except Exception as e:
+                print(f"warning: could not embed {model} sidecar: {e}",
+                      file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -69,51 +70,70 @@ def stack_model_layers(params: Dict[str, Any],
     instead of coexisting with the full stacked copy -- without it, peak
     HBM is 2x the model (the 13B-shape scan bench OOM'd a 16 GB chip).
     """
-    def pad_sides(v):
-        # pre-pad grouped side-info rows to a sublane multiple ONCE here:
-        # the stacked kernels need per-layer side blocks with row counts
-        # divisible by 8, and padding per-call made XLA copy the whole
-        # [L, rows, N] side arrays every layer of every step (the round-3
-        # scan-gap finding, ~100 us/layer at 7B depth).  4/8-bit packed
-        # storage only (the formats whose stacked kernels read these
-        # directly); LUT artifacts without zeros pad scales alone (the
-        # stacked call substitutes a dummy zeros ref, has_z=False).
-        if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
-            return v
-        qt = v["w"]
-        from ..ops.qmatmul import packed_bits
-
-        rows = qt.scales.shape[1]
-        if (qt.qweight.ndim != 3 or packed_bits(qt) not in (4, 8)
-                or qt.side_pad or rows <= 1 or rows % 8 == 0):
-            return v
-        if qt.zeros is not None and qt.zeros.shape[1] != rows:
-            # broadcast ([L, 1, 1]) zero-points (symmetric affine) cannot
-            # pre-pad: the stacked kernel would still per-call materialize
-            # the broadcast to [L, rows, N].  The lift is a const-z kernel
-            # variant (symmetric z is the compile-time constant
-            # 2^(bits-1), already 0 for the shifted int8 byte layout).
-            return v
-        pad = 8 - rows % 8
-        pr = lambda a: None if a is None else jnp.pad(
-            a, ((0, 0), (0, pad), (0, 0)))
-        return {**v, "w": qt.replace(
-            scales=pr(qt.scales), zeros=pr(qt.zeros), side_pad=pad)}
-
+    pad_sides = pad_stacked_sides
     layers = params["layers"]
     if not consume:
         layers = [dict(l) for l in layers]
+    n_layers = len(layers)
     stacked = {}
     for key in list(layers[0].keys()):
         vals = [l.pop(key) for l in layers]
-        stacked[key] = pad_sides(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *vals))
-        del vals
+        # fill a preallocated [L, ...] buffer layer-by-layer with donation
+        # instead of jnp.stack (bounds the transient to one extra kind;
+        # building STRAIGHT into stacked buffers -- bench.py
+        # build_quantized_llama(stacked=True) -- is what actually bounds
+        # peak HBM to model + one layer for 70B-slice-scale builds)
+        bufs = jax.tree.map(
+            lambda x: jnp.zeros((n_layers,) + x.shape, x.dtype), vals[0])
+        for i in range(n_layers):
+            bufs = _stack_fill(bufs, vals[i], jnp.asarray(i, jnp.int32))
+            vals[i] = None  # free this layer's leaves as we go
+        stacked[key] = pad_sides(bufs)
+        del vals, bufs
     out = {k: v for k, v in params.items() if k != "layers"}
     if consume:
         params.pop("layers", None)
     out["layers_stacked"] = stacked
     return out
+
+
+@partial(jax.jit, donate_argnums=0)
+def _stack_fill(bufs, leaves, i):
+    return jax.tree.map(
+        lambda b, x: jax.lax.dynamic_update_index_in_dim(b, x, i, 0),
+        bufs, leaves)
+
+
+def pad_stacked_sides(v):
+    """Pre-pad a stacked linear's grouped side-info rows to a sublane
+    multiple ONCE at stack time: the stacked kernels need per-layer side
+    blocks with row counts divisible by 8, and padding per-call made XLA
+    copy the whole [L, rows, N] side arrays every layer of every step (the
+    round-3 scan-gap finding, ~100 us/layer at 7B depth).  4/8-bit packed
+    storage only (the formats whose stacked kernels read these directly);
+    LUT artifacts without zeros pad scales alone (the stacked call
+    substitutes a dummy zeros ref, has_z=False)."""
+    if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
+        return v
+    qt = v["w"]
+    from ..ops.qmatmul import packed_bits
+
+    rows = qt.scales.shape[1]
+    if (qt.qweight.ndim != 3 or packed_bits(qt) not in (4, 8)
+            or qt.side_pad or rows <= 1 or rows % 8 == 0):
+        return v
+    if qt.zeros is not None and qt.zeros.shape[1] != rows:
+        # broadcast ([L, 1, 1]) zero-points (symmetric affine) cannot
+        # pre-pad: the stacked kernel would still per-call materialize
+        # the broadcast to [L, rows, N].  The lift is a const-z kernel
+        # variant (symmetric z is the compile-time constant
+        # 2^(bits-1), already 0 for the shifted int8 byte layout).
+        return v
+    pad = 8 - rows % 8
+    pr = lambda a: None if a is None else jnp.pad(
+        a, ((0, 0), (0, pad), (0, 0)))
+    return {**v, "w": qt.replace(
+        scales=pr(qt.scales), zeros=pr(qt.zeros), side_pad=pad)}
 
 
 @struct.dataclass
