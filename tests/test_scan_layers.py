@@ -306,3 +306,36 @@ class TestServeOnScan:
                               engine_cfg=ecfg)
         with pytest.raises(NotImplementedError):
             eng.generate([[1, 2, 3]], max_new_tokens=2)
+
+
+def test_bench_stacked_builder_matches_stack_after_build():
+    """bench.build_quantized_llama(stacked=True) quantizes straight into
+    the [L, ...] stacked buffers (peak HBM = model + one layer -- the
+    70B-TP8-slice build OOM'd a 16 GB chip stacking after a full
+    per-layer build, round 4).  Same rng key => identical params and
+    identical scan forward vs stack_llama_layers over the flat build."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_quantized_llama
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=3, num_heads=4, num_kv_heads=2,
+        max_position_embeddings=64,
+    )
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    key = jax.random.PRNGKey(7)
+    flat = build_quantized_llama(cfg, key, spec, jnp.bfloat16,
+                                 quantize_lm_head=True)
+    stacked_ref = stack_llama_layers(flat, consume=True)
+    direct = build_quantized_llama(cfg, key, spec, jnp.bfloat16,
+                                   quantize_lm_head=True, stacked=True)
+    for a, b in zip(jax.tree.leaves(stacked_ref), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 250, size=(2, 8)), jnp.int32)
+    got, _ = llama_forward_scan(direct, toks, cfg)
+    want, _ = llama_forward_scan(stacked_ref, toks, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
