@@ -25,7 +25,7 @@ import numpy as np
 
 
 def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
-                          prenorm=True, stacked=False):
+                          prenorm=True, stacked=False, fuse=False):
     """Random-init directly on device, quantizing each linear as it is made
     (avoids materializing the dense 7B model or host->device transfers).
 
@@ -91,13 +91,21 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
             pad_stacked_sides,
         )
 
-        first = one_layer()
+        if fuse:
+            from iron_weight_only_quant_tpu.models.llama import (
+                fuse_llama_layer,
+            )
+
+            mk_layer = lambda: fuse_llama_layer(one_layer())  # noqa: E731
+        else:
+            mk_layer = one_layer
+        first = mk_layer()
         bufs = jax.tree.map(
             lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), first)
         bufs = _stack_fill(bufs, first, jnp.asarray(0, jnp.int32))
         del first
         for l in range(1, cfg.num_layers):
-            ly = one_layer()
+            ly = mk_layer()
             bufs = _stack_fill(bufs, ly, jnp.asarray(l, jnp.int32))
             del ly
         body = {"layers_stacked": {k: pad_stacked_sides(v)
@@ -606,26 +614,15 @@ def main():
                 total += kin * kout * 2                        # bf16
         return total
 
-    from iron_weight_only_quant_tpu.models.llama import (
-        fuse_llama_projections,
-        stack_llama_layers,
-    )
-
-    scan_note = [False]
+    from iron_weight_only_quant_tpu.models.llama import fuse_llama_projections
 
     def prep(p):
-        if args.scan:
-            if not args.no_fuse and not scan_note[0]:
-                scan_note[0] = True
-                print("note: scan mode skips qkv/gate_up fusion "
-                      "(stacked views take unfused layers)", file=sys.stderr)
-            # stacked views take unfused layers; consume=True frees each
-            # projection as it stacks (2x-peak-HBM OOM'd the 13B otherwise)
-            return stack_llama_layers(p, consume=True)
         # fused qkv / gate_up packed artifacts (exact column concat): fewer
         # kernel launches and deeper N grids; e2e-measured ~20 us/layer
         # faster at decode (scripts/probe_e2e_tiles.py -- the round-1
-        # "fusion is neutral" reading was a single-run contention artifact)
+        # "fusion is neutral" reading was a single-run contention artifact).
+        # Scan (stacked) builds never reach here: build() quantizes fused
+        # layers straight into the stacked buffers.
         return p if args.no_fuse else fuse_llama_projections(p)
 
     # headline: full-depth W4 decode + reduced-depth W4/bf16 twins (bf16
@@ -641,14 +638,14 @@ def main():
 
     def build(c, sp):
         if args.scan:
-            if not args.no_fuse and not scan_note[0]:
-                scan_note[0] = True
-                print("note: scan mode skips qkv/gate_up fusion "
-                      "(stacked views take unfused layers)", file=sys.stderr)
+            # round 4: the scan path KEEPS the fused-projection win --
+            # FusedLinear stacks to [L, ...] artifacts and the per-layer
+            # StackedFusedView routes through the scalar-prefetch kernel
             return build_quantized_llama(
                 c, key, sp, jnp.bfloat16,
                 quantize_lm_head=qhead and sp is not None,
-                prenorm=not args.no_prenorm, stacked=True)
+                prenorm=not args.no_prenorm, stacked=True,
+                fuse=not args.no_fuse and sp is not None)
         return prep(build_quantized_llama(
             c, key, sp, jnp.bfloat16,
             quantize_lm_head=qhead and sp is not None,

@@ -113,6 +113,8 @@ def pad_stacked_sides(v):
     storage only (the formats whose stacked kernels read these directly);
     LUT artifacts without zeros pad scales alone (the stacked call
     substitutes a dummy zeros ref, has_z=False)."""
+    if isinstance(v, FusedLinear):
+        return v.replace(w=pad_stacked_sides({"w": v.w})["w"])
     if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
         return v
     qt = v["w"]
@@ -155,6 +157,32 @@ class FusedLinear:
         return tuple(y[..., a:b] for a, b in self.spans)
 
 
+class StackedFusedView:
+    """Lazy per-layer view of a layer-stacked :class:`FusedLinear` (scan
+    bodies): the fused artifact's [L, ...] arrays stay put in HBM, apply()
+    routes through the scalar-prefetch stacked kernel and slices the member
+    spans -- the scan path keeps the fused-projection win (7 -> 4 kernel
+    launches/layer, ~20 us/layer at 7B decode; round 4, previously 'scan
+    mode skips fusion')."""
+
+    __slots__ = ("fl", "idx")
+
+    def __init__(self, fl: "FusedLinear", idx):
+        self.fl = fl
+        self.idx = idx
+
+    def apply(self, x: jnp.ndarray,
+              pre_norm: Optional[float] = None) -> Tuple[jnp.ndarray, ...]:
+        from ..ops.qmatmul import quantized_matmul_stacked
+
+        b = self.fl.b
+        if b is not None:
+            b = b[self.idx]
+        y = quantized_matmul_stacked(x, self.fl.w, self.idx, bias=b,
+                                     pre_norm=pre_norm)
+        return tuple(y[..., a:e] for a, e in self.fl.spans)
+
+
 def _is_stacked_linear(v: Any) -> bool:
     if not (isinstance(v, dict) and "w" in v):
         return False
@@ -176,6 +204,8 @@ def stacked_layer_view(stacked: Dict[str, Any], l) -> Dict[str, Any]:
     for name, v in stacked.items():
         if v is None:  # e.g. folded norm weights (fold_llama_norms)
             lp[name] = None
+        elif isinstance(v, FusedLinear):
+            lp[name] = StackedFusedView(v, l)
         elif _is_stacked_linear(v):
             lp[name] = StackedLinear(v, l)
         elif isinstance(v, dict):

@@ -257,6 +257,17 @@ def fuse_llama_projections(params: Dict[str, Any]) -> Dict[str, Any]:
     from ..quantize.qtensor import QuantizedTensor, concat_n, stored_spans
     from .common import FusedLinear
 
+    return {**params,
+            "layers": [fuse_llama_layer(p) for p in params["layers"]]}
+
+
+def fuse_llama_layer(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse one layer dict's q|k|v and gate|up (see
+    :func:`fuse_llama_projections`); usable per-layer so stacked (scan)
+    builders can fuse before stacking."""
+    from ..quantize.qtensor import QuantizedTensor, concat_n, stored_spans
+    from .common import FusedLinear
+
     def try_fuse(p, names):
         if not all(n in p for n in names):
             return None
@@ -271,19 +282,16 @@ def fuse_llama_projections(params: Dict[str, Any]) -> Dict[str, Any]:
             return None
         return FusedLinear(fused, None, stored_spans(ws))
 
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        qkv = try_fuse(p, ("q", "k", "v"))
-        if qkv is not None:
-            p["qkv"] = qkv
-            del p["q"], p["k"], p["v"]
-        gu = try_fuse(p, ("gate", "up"))
-        if gu is not None:
-            p["gate_up"] = gu
-            del p["gate"], p["up"]
-        layers.append(p)
-    return {**params, "layers": layers}
+    p = dict(p)
+    qkv = try_fuse(p, ("q", "k", "v"))
+    if qkv is not None:
+        p["qkv"] = qkv
+        del p["q"], p["k"], p["v"]
+    gu = try_fuse(p, ("gate", "up"))
+    if gu is not None:
+        p["gate_up"] = gu
+        del p["gate"], p["up"]
+    return p
 
 
 # ------------------------------------------------- scan-over-layers variant

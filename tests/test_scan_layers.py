@@ -339,3 +339,24 @@ def test_bench_stacked_builder_matches_stack_after_build():
     got, _ = llama_forward_scan(direct, toks, cfg)
     want, _ = llama_forward_scan(stacked_ref, toks, cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_projections_stack_and_scan(model, tokens):
+    """FusedLinear artifacts stack to [L, ...] and the scan forward routes
+    them through StackedFusedView -- the scan path keeps the fused
+    qkv/gate_up win (round 4; previously 'stacked views take unfused
+    layers').  Exact: fusion is column-exact and stacking is layout-only."""
+    from iron_weight_only_quant_tpu.models.llama import fuse_llama_projections
+
+    cfg, params = model
+    qp, _ = quantize_model_params(
+        params, QuantSpec(fmt="int", bits=4, group_size=32, symmetric=False)
+    )
+    want, _ = llama_forward_scan(stack_llama_layers(qp, consume=False),
+                                 tokens, cfg)
+    fused = fuse_llama_projections(qp)
+    assert any("qkv" in l for l in fused["layers"]), "fusion did not apply"
+    got, _ = llama_forward_scan(stack_llama_layers(fused, consume=False),
+                                tokens, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
