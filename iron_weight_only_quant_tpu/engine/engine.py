@@ -371,9 +371,12 @@ class InferenceEngine:
                     and "layers" in params:
                 # exact fused qkv / gate_up artifacts (column-wise concat of
                 # per-group quantized tensors); ~20 us/layer decode win on
-                # v5e (scripts/probe_e2e_tiles.py).  Stacked
-                # (layers_stacked) params skip fusion -- the scalar-prefetch
-                # stacked views take unfused layers.
+                # v5e (scripts/probe_e2e_tiles.py).  Params that arrive
+                # already STACKED (layers_stacked) cannot be fused here --
+                # fuse per layer BEFORE stacking (fuse_llama_layer /
+                # build_quantized_llama(fuse=True), as __graft_entry__ and
+                # bench.py do); StackedFusedView then keeps the win on the
+                # scan path.
                 from ..models.llama import fuse_llama_projections
 
                 params = fuse_llama_projections(params)

@@ -25,25 +25,27 @@ from ..formats.int_codec import decode_int, encode_int
 from ..models.common import KVCacheView
 
 # slot-local decode write formulation (A/B probe knob, scripts/
-# probe_chunk_gap2.py): "vmap" (vmapped dynamic_update_slice), "scatter"
-# (one batched scatter per buffer -- measured IDENTICAL to vmap on v5e),
-# and two semantics-breaking isolation modes for timing only: "noop"
-# (skip the write) and "scalar" (write every slot at slot 0's column).
-# The serve-vs-static per-step gap at equal t_max measured ~1.0 ms and
-# the 6 per-layer cache writes are the prime suspect.
+# probe_chunk_gap2.py): "vmap" (vmapped dynamic_update_slice) or "scatter"
+# (one batched scatter per buffer -- measured IDENTICAL to vmap on v5e).
+# The env var accepts ONLY these two correct modes; the semantics-breaking
+# timing-isolation modes ("noop": skip the write, "scalar": write every
+# slot at slot 0's column) are reachable only by monkeypatching
+# _KV_WRITE_MODE from a probe script (scripts/probe_chunk_gap3.py) --
+# an inherited env var must never silently corrupt generations.
 import os as _os
 
 _KV_WRITE_MODE = _os.environ.get("IWOQ_KV_WRITE", "vmap")
-_KV_WRITE_SCATTER = _KV_WRITE_MODE == "scatter"
-if _KV_WRITE_MODE in ("noop", "scalar"):  # pragma: no cover - probe only
+if _KV_WRITE_MODE not in ("vmap", "scatter"):
     import warnings
 
     warnings.warn(
-        f"IWOQ_KV_WRITE={_KV_WRITE_MODE}: slot-local KV writes are "
-        "INTENTIONALLY BROKEN (timing-isolation probe mode); generated "
-        "tokens will be garbage",
+        f"IWOQ_KV_WRITE={_KV_WRITE_MODE!r} is not a valid mode "
+        "(vmap|scatter); using vmap.  The broken probe modes are "
+        "monkeypatch-only (scripts/probe_chunk_gap3.py).",
         stacklevel=1,
     )
+    _KV_WRITE_MODE = "vmap"
+_KV_WRITE_SCATTER = _KV_WRITE_MODE == "scatter"
 
 
 @struct.dataclass
@@ -472,18 +474,25 @@ def update_and_fetch(cache: CacheView, k_new: jnp.ndarray, v_new: jnp.ndarray):
 
         adv = cache.valid
     elif getattr(start, "ndim", 0) == 1:  # slot-local timelines ([B] starts)
-        if _KV_WRITE_MODE == "noop":  # timing isolation only
+        if _KV_WRITE_MODE == "noop":  # timing isolation only (monkeypatch)
             def upd(buf, val):
                 return buf
-        elif _KV_WRITE_MODE == "scalar":  # timing isolation only
+        elif _KV_WRITE_MODE == "scalar":  # timing isolation only (monkeypatch)
             def upd(buf, val):
                 return jax.lax.dynamic_update_slice(
-                    buf, val.astype(buf.dtype), (0, start[0], 0)
+                    buf, val.astype(buf.dtype),
+                    (0, start[0]) + (0,) * (buf.ndim - 2)
                 )
         elif _KV_WRITE_SCATTER:
             # one batched scatter per buffer (same form as the valid
-            # branch) instead of a vmapped dynamic_update_slice
-            t = start[:, None] + jnp.arange(s)
+            # branch) instead of a vmapped dynamic_update_slice.
+            # Boundary semantics differ from the vmap default at capacity
+            # edges: mode="drop" discards out-of-range rows where
+            # dynamic_update_slice would CLAMP the start to t_max - s;
+            # clamp t here to match, so an A/B comparison writes identical
+            # cache contents even on slot overflow
+            t_max_b = cache.k_codes.shape[1]
+            t = jnp.minimum(start, t_max_b - s)[:, None] + jnp.arange(s)
             b_idx = jnp.arange(cache.k_codes.shape[0])[:, None]
 
             def upd(buf, val):
