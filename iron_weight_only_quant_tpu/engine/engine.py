@@ -318,24 +318,43 @@ class InferenceEngine:
             if family is None:
                 raise ValueError("family required for sharded engines")
             self.mesh = make_mesh(engine_cfg.mesh)
+            tp_stacked = False
             if tp_block:
-                # shard_map gives row-parallel linears a bare row SLICE of
-                # the packed array; sub-byte pairing must be confined to
-                # each shard first (GSPMD, by contrast, keeps the logical
-                # computation global, so k_shards=1 artifacts are fine there)
-                params = self._repack_row_parallel(
-                    params, family, self.mesh.shape["model"]
-                )
-                if engine_cfg.fuse_projections and family == "llama":
-                    # shard-BLOCKED fused qkv/gate_up (columns laid out
-                    # [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] so the N sharding
-                    # gives each shard a locally-fused block); the
-                    # single-chip fusion layout cannot column-shard
-                    from ..parallel.tp_block import fuse_projections_tp
+                from ..parallel import tp_block as tpb
 
-                    params = fuse_projections_tp(
-                        params, self.mesh.shape["model"]
-                    )
+                d = self.mesh.shape["model"]
+                scan_fwd = getattr(forward, "__name__", "") == "llama_forward_scan"
+                if "layers_stacked" in params:
+                    # already-stacked params must arrive TP-prepared (the
+                    # engine cannot repack/fuse [L, ...] artifacts in place)
+                    if family != "llama":
+                        raise NotImplementedError(
+                            "stacked tp_block is llama-only (make_tp_llama_"
+                            "forward_stacked); use flat layers for "
+                            f"family={family!r}")
+                    tpb.validate_tp_stacked(params, d, family)
+                    tp_stacked = True
+                elif scan_fwd and family == "llama":
+                    # flat params + scan forward: prepare + stack here --
+                    # the TP x scan composition (the only executable 70B
+                    # serving shape: one compiled block body per shard, not
+                    # num_layers unrolled shard_map copies)
+                    params = tpb.prepare_tp_stacked_llama(
+                        params, d, fuse=engine_cfg.fuse_projections)
+                    tp_stacked = True
+                else:
+                    # shard_map gives row-parallel linears a bare row SLICE
+                    # of the packed array; sub-byte pairing must be confined
+                    # to each shard first (GSPMD, by contrast, keeps the
+                    # logical computation global, so k_shards=1 artifacts
+                    # are fine there)
+                    params = self._repack_row_parallel(params, family, d)
+                    if engine_cfg.fuse_projections and family == "llama":
+                        # shard-BLOCKED fused qkv/gate_up (columns laid out
+                        # [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] so the N
+                        # sharding gives each shard a locally-fused block);
+                        # the single-chip fusion layout cannot column-shard
+                        params = tpb.fuse_projections_tp(params, d)
             specs = param_specs(family, params)
             self.params = apply_sharding(params, specs, self.mesh)
             if tp_block:
@@ -343,12 +362,15 @@ class InferenceEngine:
                 # shard (GSPMD cannot partition pallas_call)
                 from ..parallel import tp_block as tpb
 
-                builders = {
-                    "llama": tpb.make_tp_llama_forward,
-                    "opt": tpb.make_tp_opt_forward,
-                    "bloom": tpb.make_tp_bloom_forward,
-                }
-                tp_fwd = builders[family](cfg, self.mesh)
+                if tp_stacked:
+                    tp_fwd = tpb.make_tp_llama_forward_stacked(cfg, self.mesh)
+                else:
+                    builders = {
+                        "llama": tpb.make_tp_llama_forward,
+                        "opt": tpb.make_tp_opt_forward,
+                        "bloom": tpb.make_tp_bloom_forward,
+                    }
+                    tp_fwd = builders[family](cfg, self.mesh)
 
                 def forward_wrap(params, tokens, _cfg, caches=None,
                                  positions=None, attn_mask=None):

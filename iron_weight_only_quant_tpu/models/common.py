@@ -56,7 +56,8 @@ class StackedLinear:
 
 
 def stack_model_layers(params: Dict[str, Any],
-                       consume: bool = False) -> Dict[str, Any]:
+                       consume: bool = False,
+                       tp_segments: bool = False) -> Dict[str, Any]:
     """Stack the per-layer param list into one pytree with leading L axis.
 
     Enables the scan-over-layers forwards: one compiled block body instead of
@@ -69,8 +70,12 @@ def stack_model_layers(params: Dict[str, Any],
     layer dicts as it is stacked, so the per-layer buffers free leaf-by-leaf
     instead of coexisting with the full stacked copy -- without it, peak
     HBM is 2x the model (the 13B-shape scan bench OOM'd a 16 GB chip).
+
+    ``tp_segments=True`` (tp_block.prepare_tp_stacked_llama only) pads
+    k_shards>1 row-parallel side info PER K-SEGMENT; such artifacts are
+    only valid through shard-local views -- see pad_stacked_sides.
     """
-    pad_sides = pad_stacked_sides
+    pad_sides = partial(pad_stacked_sides, tp_segments=tp_segments)
     layers = params["layers"]
     if not consume:
         layers = [dict(l) for l in layers]
@@ -104,7 +109,7 @@ def _stack_fill(bufs, leaves, i):
         bufs, leaves)
 
 
-def pad_stacked_sides(v):
+def pad_stacked_sides(v, tp_segments: bool = False):
     """Pre-pad a stacked linear's grouped side-info rows to a sublane
     multiple ONCE at stack time: the stacked kernels need per-layer side
     blocks with row counts divisible by 8, and padding per-call made XLA
@@ -114,7 +119,8 @@ def pad_stacked_sides(v):
     LUT artifacts without zeros pad scales alone (the stacked call
     substitutes a dummy zeros ref, has_z=False)."""
     if isinstance(v, FusedLinear):
-        return v.replace(w=pad_stacked_sides({"w": v.w})["w"])
+        return v.replace(
+            w=pad_stacked_sides({"w": v.w}, tp_segments)["w"])
     if not (isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor)):
         return v
     qt = v["w"]
@@ -122,7 +128,26 @@ def pad_stacked_sides(v):
 
     rows = qt.scales.shape[1]
     if (qt.qweight.ndim != 3 or packed_bits(qt) not in (4, 8)
-            or qt.side_pad or rows <= 1 or rows % 8 == 0):
+            or qt.side_pad or rows <= 1):
+        return v
+    # k_shards > 1 + tp_segments (tp_block.prepare_tp_stacked_llama):
+    # pad each of the k_shards contiguous row SEGMENTS to an 8-multiple, so
+    # a shard_map K-slice hands every shard a self-contained side block
+    # whose rows are sublane-aligned.  side_pad then means the PER-SEGMENT
+    # pad; only the shard-local views (k_shards=1 after localization) ever
+    # interpret it, and for them it is the standard end-of-rows meaning.
+    # WITHOUT tp_segments, k_shards>1 artifacts are left unpadded: end-of-
+    # rows padding would misalign segment boundaries for a later TP slice,
+    # and segment padding would break unsharded consumers (dequantize_weight
+    # reads side_pad as end-of-rows) -- correctness over the pad win.
+    shards = qt.k_shards
+    if shards > 1 and not tp_segments:
+        return v
+    if rows % shards:
+        return v
+    rows_per = rows // shards
+    pad = (-rows_per) % 8
+    if pad == 0:
         return v
     if qt.zeros is not None and qt.zeros.shape[1] != rows:
         # broadcast ([L, 1, 1]) zero-points (symmetric affine) cannot
@@ -131,9 +156,17 @@ def pad_stacked_sides(v):
         # variant (symmetric z is the compile-time constant
         # 2^(bits-1), already 0 for the shifted int8 byte layout).
         return v
-    pad = 8 - rows % 8
-    pr = lambda a: None if a is None else jnp.pad(
-        a, ((0, 0), (0, pad), (0, 0)))
+
+    def pr(a):
+        if a is None:
+            return None
+        if shards == 1:
+            return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        l, _, n = a.shape
+        seg = a.reshape(l, shards, rows_per, n)
+        seg = jnp.pad(seg, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return seg.reshape(l, shards * (rows_per + pad), n)
+
     return {**v, "w": qt.replace(
         scales=pr(qt.scales), zeros=pr(qt.zeros), side_pad=pad)}
 

@@ -105,7 +105,13 @@ def _block(
     sin: jnp.ndarray,
     mask: jnp.ndarray,
     cache: Optional[KVCacheView],
+    reduce=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCacheView]]:
+    """One transformer block.  ``reduce`` (optional) is applied to the o and
+    down projection outputs before the residual add -- the tensor-parallel
+    seam: under shard_map (parallel.tp_block) each shard computes a partial
+    row-parallel output and ``reduce`` is the psum over the model axis.
+    ``cfg`` then carries SHARD-LOCAL head counts."""
     b, s, h = x.shape
     hd = cfg.hd
 
@@ -137,7 +143,10 @@ def _block(
 
         cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask)
-    x = x + linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+    o_out = linear(attn.reshape(b, s, cfg.num_heads * hd), p["o"])
+    if reduce is not None:
+        o_out = reduce(o_out)
+    x = x + o_out
 
     pre_mlp = cfg.rms_norm_eps if p.get("post_norm") is None else None
     mlp_in = x if pre_mlp is not None else rmsnorm(
@@ -150,7 +159,10 @@ def _block(
             linear(mlp_in, p["gate"], pre_norm=pre_mlp).astype(jnp.float32)
         ).astype(x.dtype)
         up = linear(mlp_in, p["up"], pre_norm=pre_mlp)
-    x = x + linear(gate * up, p["down"])
+    down_out = linear(gate * up, p["down"])
+    if reduce is not None:
+        down_out = reduce(down_out)
+    x = x + down_out
     return x, cache
 
 

@@ -81,6 +81,12 @@ def _flat_via_prefetch(tpk: int) -> bool:
     return tpk < 256
 
 
+# probe-only plan overrides (scripts/probe_narrow_n.py monkeypatches these
+# around a fresh trace); production selection stays in _plan_tiles
+_FORCE_TN: Optional[int] = None
+_FORCE_TPK: Optional[int] = None
+
+
 def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
     """Joint (tn, tpk) selection, tuned on the v5e (scripts/probe_tiles.py).
 
@@ -91,6 +97,10 @@ def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
     4096x4096 m=8: tn=1024 -> 578 GB/s vs tn=512 -> 438 and tn=2048 -> 517;
     11008x4096: tn=512 (2.75MB tiles) -> 615 GB/s vs tn=1024 -> 540).
     """
+    if _FORCE_TN is not None or _FORCE_TPK is not None:
+        forced = _plan_forced(n, kp, k, rows, tm, slabs)
+        if forced is not None:
+            return forced
     best = None
     for tn in (2048, 1024, 512, 256, 128):
         if n % tn != 0:
@@ -105,6 +115,22 @@ def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
     if best is None:
         return None
     return best[1:]
+
+
+def _plan_forced(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
+    tn = _FORCE_TN
+    if tn is None or n % tn:
+        return None
+    tpk = _FORCE_TPK
+    g = k // rows if rows > 1 else None
+    base = 128
+    if g is not None and g > 128:
+        base = g if g % 128 == 0 else 128 * g
+    if tpk is None or kp % tpk or tpk % base:
+        tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs)
+        return tn, tpk, rs, g_target
+    rs = max(1, tpk // g) if g is not None else 1
+    return tn, tpk, rs, tpk // rs
 
 
 def _pick_tm(m: int) -> int:

@@ -54,11 +54,27 @@ _BLOOM_LAYER = {
 }
 
 
+def _stack_spec(spec):
+    """Prepend a replicated layer axis to a flat layer spec (stacked params)."""
+    if isinstance(spec, dict):
+        return {k: _stack_spec(v) for k, v in spec.items()}
+    if isinstance(spec, P):
+        return P(None, *spec)
+    return spec
+
+
 def param_specs(family: str, params: Dict[str, Any]) -> Dict[str, Any]:
-    """Build a spec pytree mirroring ``params``."""
+    """Build a spec pytree mirroring ``params`` (flat or layer-stacked)."""
     layer = {"llama": _LLAMA_LAYER, "opt": _OPT_LAYER, "bloom": _BLOOM_LAYER}[family]
-    n_layers = len(params["layers"])
-    specs: Dict[str, Any] = {"layers": [dict(layer) for _ in range(n_layers)]}
+    if "layers_stacked" in params:
+        stacked_layer = _stack_spec(dict(layer))
+        specs: Dict[str, Any] = {"layers_stacked": {
+            key: stacked_layer.get(key, P())
+            for key in params["layers_stacked"]
+        }}
+    else:
+        n_layers = len(params["layers"])
+        specs = {"layers": [dict(layer) for _ in range(n_layers)]}
     specs["embed"] = P("model", None)
     if family == "opt":
         specs["embed_pos"] = P()
@@ -105,15 +121,16 @@ def _leaf_sharding(value: Any, spec, mesh: Mesh):
         def side_spec(side):
             if side is None:
                 return None
-            return wspec if side.shape[0] > 1 or side.shape[1] > 1 else P()
+            return wspec if any(dim > 1 for dim in side.shape) else P()
 
-        return QuantizedTensor(
-            place(value.qweight, wspec),
-            place(value.scales, side_spec(value.scales)),
-            place(value.zeros, side_spec(value.zeros)),
-            place(value.codebook, P()) if value.codebook is not None else None,
-            value.spec, value.shape, value.mode, value.k_shards,
-            value.n_pad, value.k_pad,
+        # replace() keeps ALL static metadata (incl. side_pad, which a
+        # positional reconstruction silently dropped)
+        return value.replace(
+            qweight=place(value.qweight, wspec),
+            scales=place(value.scales, side_spec(value.scales)),
+            zeros=place(value.zeros, side_spec(value.zeros)),
+            codebook=(place(value.codebook, P())
+                      if value.codebook is not None else None),
         )
     spec = _compatible_spec(value.shape, spec, mesh)
     return jax.device_put(value, NamedSharding(mesh, spec))

@@ -118,20 +118,9 @@ def _pad_cols_zero(qt: QuantizedTensor, mult: int) -> QuantizedTensor:
     )
 
 
-def fuse_projections_tp(params: Dict[str, Any], d: int,
-                        pad_to: int = 128) -> Dict[str, Any]:
-    """Fuse q|k|v and gate|up into shard-BLOCKED wide artifacts for tp_block.
-
-    The single-chip :func:`..models.llama.fuse_llama_projections` layout
-    ``[q | k | v]`` cannot column-shard (a 1/d slice mixes members); here the
-    columns are laid out ``[q_0 k_0 v_0 | q_1 k_1 v_1 | ...]`` so sharding
-    the N axis over ``d`` devices gives each shard its own locally-fused
-    ``[q_i | k_i | v_i]`` block.  Spans stored on the FusedLinear are
-    SHARD-LOCAL (identical for every shard); each shard's block is
-    zero-padded to a ``pad_to`` column multiple so the per-shard kernel gets
-    full-width tiles.  Exact by column independence of per-group
-    quantization (same argument as concat_n).  llama layer dicts only.
-    """
+def _fuse_tp_layer(p: Dict[str, Any], d: int, pad_to: int = 128) -> Dict[str, Any]:
+    """Fuse one llama layer dict's q|k|v and gate|up into shard-BLOCKED wide
+    artifacts (see :func:`fuse_projections_tp` for the layout contract)."""
     def try_fuse(p, names):
         if not all(n in p for n in names):
             return None
@@ -163,19 +152,123 @@ def fuse_projections_tp(params: Dict[str, Any], d: int,
             shards.append(blk)
         return FusedLinear(concat_n(shards), None, spans)
 
-    layers = []
-    for p in params["layers"]:
-        p = dict(p)
-        qkv = try_fuse(p, ("q", "k", "v"))
-        if qkv is not None:
-            p["qkv"] = qkv
-            del p["q"], p["k"], p["v"]
-        gu = try_fuse(p, ("gate", "up"))
-        if gu is not None:
-            p["gate_up"] = gu
-            del p["gate"], p["up"]
-        layers.append(p)
-    return {**params, "layers": layers}
+    p = dict(p)
+    qkv = try_fuse(p, ("q", "k", "v"))
+    if qkv is not None:
+        p["qkv"] = qkv
+        del p["q"], p["k"], p["v"]
+    gu = try_fuse(p, ("gate", "up"))
+    if gu is not None:
+        p["gate_up"] = gu
+        del p["gate"], p["up"]
+    return p
+
+
+def fuse_projections_tp(params: Dict[str, Any], d: int,
+                        pad_to: int = 128) -> Dict[str, Any]:
+    """Fuse q|k|v and gate|up into shard-BLOCKED wide artifacts for tp_block.
+
+    The single-chip :func:`..models.llama.fuse_llama_projections` layout
+    ``[q | k | v]`` cannot column-shard (a 1/d slice mixes members); here the
+    columns are laid out ``[q_0 k_0 v_0 | q_1 k_1 v_1 | ...]`` so sharding
+    the N axis over ``d`` devices gives each shard its own locally-fused
+    ``[q_i | k_i | v_i]`` block.  Spans stored on the FusedLinear are
+    SHARD-LOCAL (identical for every shard); each shard's block is
+    zero-padded to a ``pad_to`` column multiple so the per-shard kernel gets
+    full-width tiles.  Exact by column independence of per-group
+    quantization (same argument as concat_n).  llama layer dicts only.
+    """
+    return {**params,
+            "layers": [_fuse_tp_layer(p, d, pad_to)
+                       for p in params["layers"]]}
+
+
+def tp_prepare_llama_layer(p: Dict[str, Any], d: int, fuse: bool = True,
+                           pad_to: int = 128) -> Dict[str, Any]:
+    """Per-layer TP transform: repack row-parallel (o/down) artifacts to
+    ``k_shards=d`` and (optionally) build shard-blocked fused projections.
+
+    Usable layer-by-layer so memory-bounded builders can quantize + prepare
+    + stack one layer at a time (peak HBM = stacked model + one layer,
+    the 70B-slice constraint in bench.build_quantized_llama)."""
+    from ..quantize.qtensor import repack_k_shards
+
+    p = dict(p)
+    for key in ("o", "down"):
+        lin = p.get(key)
+        if isinstance(lin, dict) and isinstance(lin.get("w"), QuantizedTensor):
+            w = lin["w"]
+            g = w.spec.group_size
+            if w.shape[0] % d or (g > 0 and (w.shape[0] // d) % g):
+                raise ValueError(
+                    f"row-parallel '{key}': K={w.shape[0]} must split into "
+                    f"{d} shards of whole quantization groups (g={g}); "
+                    f"K/d={w.shape[0] // d}.  The real 70B shapes satisfy "
+                    "this (8192/8 and 28672/8 are 128-multiples); pick a "
+                    "smaller group or mesh for toy shapes"
+                )
+            p[key] = {**lin, "w": repack_k_shards(w, d)}
+    if fuse:
+        p = _fuse_tp_layer(p, d, pad_to)
+    return p
+
+
+def prepare_tp_stacked_llama(params: Dict[str, Any], d: int,
+                             fuse: bool = True,
+                             pad_to: int = 128) -> Dict[str, Any]:
+    """Flat llama params -> TP-prepared STACKED params for the scan path.
+
+    The composition the 70B serving configuration needs (VERDICT r4 item 1):
+    row-parallel artifacts repacked per shard, column-parallel projections
+    fused shard-blocked, then everything stacked to ``[L, ...]`` arrays that
+    :func:`make_tp_llama_forward_stacked` shards over the model axis and
+    scans with scalar-prefetch kernels per shard.  Row-parallel side info is
+    padded PER K-SEGMENT to a sublane multiple (models.common.
+    pad_stacked_sides), so only shard-local views (which see standard
+    end-of-rows ``side_pad``) ever interpret it -- do not feed the prepared
+    global artifact to single-chip consumers.
+    """
+    from ..models.common import stack_model_layers
+
+    layers = [tp_prepare_llama_layer(p, d, fuse, pad_to)
+              for p in params["layers"]]
+    flat = {**{k: v for k, v in params.items() if k != "layers"},
+            "layers": layers}
+    return stack_model_layers(flat, consume=True, tp_segments=True)
+
+
+def validate_tp_stacked(params: Dict[str, Any], d: int,
+                        family: str = "llama") -> None:
+    """Check a stacked param tree is TP-prepared for a model axis of ``d``."""
+    _, row_keys = _FAMILY_LINEARS[family]
+    stacked = params["layers_stacked"]
+    for key in row_keys:
+        lin = stacked.get(key)
+        if isinstance(lin, dict) and isinstance(lin.get("w"), QuantizedTensor):
+            if lin["w"].k_shards != d:
+                raise ValueError(
+                    f"stacked tp_block params: row-parallel '{key}' packed "
+                    f"with k_shards={lin['w'].k_shards}, need {d}; prepare "
+                    "flat params with parallel.tp_block."
+                    "prepare_tp_stacked_llama(params, d) before stacking"
+                )
+            if lin.get("b") is not None:
+                raise NotImplementedError(
+                    f"row-parallel '{key}' bias under stacked tp_block"
+                )
+    for key, v in stacked.items():
+        if key in row_keys:
+            continue
+        qt = v.w if isinstance(v, FusedLinear) else (
+            v.get("w") if isinstance(v, dict) else None)
+        if isinstance(qt, QuantizedTensor) and qt.n_pad and d > 1:
+            raise ValueError(
+                f"column-parallel '{key}' carries n_pad={qt.n_pad}: stored "
+                "padding sits at the END of N, so a 1/d column slice mixes "
+                "logical and pad columns -- fuse projections "
+                "(prepare_tp_stacked_llama(fuse=True)) or quantize with "
+                "pad_n_to=1"
+            )
 
 
 def shard_model_params(
@@ -210,48 +303,67 @@ def shard_llama_params(params, cfg, spec, d):
     return shard_model_params(params, cfg, spec, d, "llama")
 
 
-def _qt_spec(qt: QuantizedTensor, row: bool) -> Dict[str, Any]:
-    """Leaf PartitionSpecs for one quantized linear under shard_map."""
+def _qt_spec(qt: QuantizedTensor, row: bool,
+             stacked: bool = False) -> QuantizedTensor:
+    """Leaf PartitionSpecs for one quantized linear under shard_map.
+
+    Returned as a QuantizedTensor whose array fields hold PartitionSpecs and
+    whose STATIC fields copy ``qt``'s exactly (tree_map over (specs, args)
+    requires identical aux data).  ``stacked`` prepends the layer axis
+    (replicated) for ``[L, ...]`` artifacts.
+    """
+    pre = (None,) if stacked else ()
+    sd = 1 if stacked else 0  # side-array axis offset
     if row:
-        w = P("model", None)
-        side = lambda s: P("model", None) if s is not None and s.shape[0] > 1 else P()  # noqa: E731
+        w = P(*pre, "model", None)
+        side = lambda s: P(*pre, "model", None) \
+            if s is not None and s.shape[sd] > 1 else P()  # noqa: E731
     else:
-        w = P(None, "model")
-        side = lambda s: P(None, "model") if s is not None and s.shape[1] > 1 else P()  # noqa: E731
-    return QuantizedTensor(
-        w, side(qt.scales),
-        side(qt.zeros) if qt.zeros is not None else None,
-        P() if qt.codebook is not None else None,
-        qt.spec, qt.shape, qt.mode, qt.k_shards, qt.n_pad, qt.k_pad,
+        w = P(*pre, None, "model")
+        side = lambda s: P(*pre, None, "model") \
+            if s is not None and s.shape[sd + 1] > 1 else P()  # noqa: E731
+    return qt.replace(
+        qweight=w, scales=side(qt.scales),
+        zeros=side(qt.zeros) if qt.zeros is not None else None,
+        codebook=P() if qt.codebook is not None else None,
     )
 
 
-def _linear_specs(lin, row: bool):
+def _linear_specs(lin, row: bool, stacked: bool = False):
+    pre = (None,) if stacked else ()
     if isinstance(lin, FusedLinear):
         return lin.replace(
-            w=_qt_spec(lin.w, row=False),
-            b=None if lin.b is None else P("model"),
+            w=_qt_spec(lin.w, row=False, stacked=stacked),
+            b=None if lin.b is None else P(*pre, "model"),
         )
     w = lin["w"]
     if isinstance(w, QuantizedTensor):
-        wspec = _qt_spec(w, row)
+        wspec = _qt_spec(w, row, stacked=stacked)
     else:
-        wspec = P("model", None) if row else P(None, "model")
+        wspec = P(*pre, "model", None) if row else P(*pre, None, "model")
     b = lin.get("b")
     out = {"w": wspec}
     if b is not None:
-        out["b"] = P() if row else P("model")
+        out["b"] = P() if row else P(*pre, "model")
     else:
         out["b"] = None
     return out
 
 
-def _cache_view_spec(cache, axis: str):
-    """Partition spec matching one per-layer cache view: every [B, T, H, ...]
-    array shards on the head axis (the TP axis carries KV heads)."""
-    hspec = P(None, None, axis, None)
+def _cache_view_spec(cache, axis: str, stacked: bool = False):
+    """Partition spec matching one per-layer ([B, T, H, ...]) or stacked
+    ([L, B, T, H, ...]) cache view: arrays shard on the head axis (the TP
+    axis carries KV heads); lengths/valid counts are replicated.
+
+    ``valid`` ([B] per-slot token counts, the serve prefill wave) must get a
+    spec exactly when present -- tree_map over (specs, caches) fails on a
+    structure mismatch, which is what kept serve() off the tp_block path
+    until round 5."""
+    hspec = P(None, None, None, axis, None) if stacked \
+        else P(None, None, axis, None)
+    vspec = P() if getattr(cache, "valid", None) is not None else None
     if isinstance(cache, KVCacheView):
-        return KVCacheView(hspec, hspec, P())
+        return KVCacheView(hspec, hspec, P(), vspec)
     from ..engine.kvcache import QuantKVCacheView
 
     if isinstance(cache, QuantKVCacheView):
@@ -259,6 +371,7 @@ def _cache_view_spec(cache, axis: str):
             k_codes=hspec, k_scales=hspec, k_zeros=hspec,
             v_codes=hspec, v_scales=hspec, v_zeros=hspec, length=P(),
             bits=cache.bits, group=cache.group, packed=cache.packed,
+            valid=vspec,
         )
     raise NotImplementedError(
         f"tp_block does not support {type(cache).__name__} caches "
@@ -425,6 +538,170 @@ def make_tp_llama_forward(cfg, mesh: Mesh, axis: str = "model"):
                     new_caches.append(cache_i)
             x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
             logits_part = linear(x, _local_view(params["lm_head"], d, row=False))
+            return logits_part, new_caches
+
+        return run(params, tokens, caches, cos, sin, mask)
+
+    return forward
+
+
+# ----------------------------------------- stacked (scan-over-layers) + TP
+
+def _local_stacked(stacked: Dict[str, Any], d: int, row_keys) -> Dict[str, Any]:
+    """Shard-local metadata views of a TP-sharded stacked layer dict.
+
+    Inside the shard_map body every array leaf is already the LOCAL block;
+    packed artifacts additionally carry static ``shape`` metadata that must
+    match it: column-parallel linears become ``(K, N/d)``, row-parallel
+    ``(K/d, N)`` with ``k_shards=1`` (each segment's packing is
+    self-contained after repack_k_shards).  ``side_pad`` keeps its value:
+    per-SEGMENT padding globally IS end-of-rows padding locally.
+    """
+    out = {}
+    for key, v in stacked.items():
+        row = key in row_keys
+        if isinstance(v, FusedLinear):
+            w = v.w
+            if isinstance(w, QuantizedTensor):
+                out[key] = v.replace(
+                    w=w.replace(shape=(w.shape[0], w.shape[1] // d)))
+            else:
+                out[key] = v
+        elif isinstance(v, dict) and isinstance(v.get("w"), QuantizedTensor):
+            w = v["w"]
+            if row:
+                if w.k_pad:
+                    raise NotImplementedError(
+                        "row-parallel TP over a K-padded artifact")
+                lw = w.replace(shape=(w.shape[0] // d, w.shape[1]),
+                               k_shards=1)
+            else:
+                lw = w.replace(shape=(w.shape[0], w.shape[1] // d))
+            out[key] = {**v, "w": lw}
+        else:
+            out[key] = v
+    return out
+
+
+def make_tp_llama_forward_stacked(cfg, mesh: Mesh, axis: str = "model"):
+    """Tensor parallelism COMPOSED with the scan path: one shard_map whose
+    body is the scan-over-layers forward on shard-local stacked params.
+
+    This is the 70B serving configuration (VERDICT r4 item 1): the stacked
+    ``[L, ...]`` packed weights shard on the model axis (column-parallel on
+    N via shard-blocked fused projections, row-parallel on K via per-shard
+    packing), the stacked KV cache shards on the head axis, and inside each
+    shard the body is literally :func:`..models.llama.llama_forward_scan`'s
+    scan -- ``stacked_layer_view`` + scalar-prefetch kernels, a shard-local
+    cfg (``num_heads/d``, ``num_kv_heads/d``), and one psum after attention
+    and one after the MLP per layer (models.llama._block's ``reduce`` seam).
+    Compile time stays depth-independent (one block body, not 80 unrolled
+    shard_map copies -- the blowup the flat tp forward hits at 70B depth).
+
+    Params: ``prepare_tp_stacked_llama`` output -- ``layers_stacked`` with
+    fused qkv/gate_up (shard-blocked) and o/down repacked ``k_shards=d``;
+    ``embed``/``final_norm`` replicated, ``lm_head`` flat column-parallel.
+    The reference's deepest scale-out is layer-placement pipelining
+    (gptq/opt.py:272-306); this path is what replaces it on a TPU pod.
+    """
+    import dataclasses
+
+    d = mesh.shape[axis]
+    if cfg.num_heads % d or cfg.num_kv_heads % d or cfg.intermediate_size % d:
+        raise ValueError(f"heads/kv_heads/intermediate must divide {axis}={d}")
+    if cfg.tie_word_embeddings:
+        raise NotImplementedError("tied lm head under tp_block")
+    hd = cfg.hd
+    cfg_loc = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // d, num_kv_heads=cfg.num_kv_heads // d,
+        head_dim=hd)
+    _, row_keys = _FAMILY_LINEARS["llama"]
+
+    from ..models.llama import _block
+
+    def forward(params, tokens, cfg_arg=None, caches=None, positions=None,
+                attn_mask=None):
+        # cfg_arg accepted (ignored) so the engine can call this with the
+        # same signature as llama_forward_scan
+        b, s = tokens.shape
+        if caches is None:
+            if positions is None:
+                positions = jnp.arange(s)
+            mask = causal_mask(s) if attn_mask is None else attn_mask
+        else:
+            start = caches.length[0]
+            if positions is None:
+                positions = start + jnp.arange(s)
+            if attn_mask is None:
+                t_max = (caches.k.shape[2] if hasattr(caches, "k")
+                         else caches.k_codes.shape[2])
+                cols = jnp.arange(t_max)[None, :]
+                qpos = positions if positions.ndim == 1 else positions[0]
+                mask = (cols <= qpos[:, None])[None, None]
+            else:
+                mask = attn_mask
+        cos, sin = rope_tables(positions, hd, cfg.rope_theta,
+                               cfg.condense_ratio)
+
+        stacked = params["layers_stacked"]
+        sp = {}
+        for key, v in stacked.items():
+            if isinstance(v, FusedLinear) or (
+                isinstance(v, dict) and "w" in v
+            ):
+                sp[key] = _linear_specs(v, row=key in row_keys, stacked=True)
+            elif v is None:
+                sp[key] = None
+            elif isinstance(v, dict):
+                sp[key] = _rep_spec(v)
+            else:
+                sp[key] = P()
+        param_specs_tree = {
+            "embed": P(),
+            "layers_stacked": sp,
+            "final_norm": P(),
+            "lm_head": _linear_specs(params["lm_head"], row=False),
+        }
+        cache_spec = (None if caches is None
+                      else _cache_view_spec(caches, axis, stacked=True))
+
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+
+        @partial(
+            shard_map, mesh=mesh, **_SMAP_KW,
+            in_specs=(param_specs_tree, P(), cache_spec, P(), P(), P()),
+            out_specs=(P(None, None, axis), cache_spec),
+        )
+        def run(params, tokens, caches, cos, sin, mask):
+            from ..engine.kvcache import StackedCacheAt
+            from ..models.common import stacked_layer_view
+
+            local = _local_stacked(params["layers_stacked"], d, row_keys)
+            psum = lambda t: jax.lax.psum(t, axis)  # noqa: E731
+            x = params["embed"][tokens]
+
+            if caches is None:
+                def body(x, l):
+                    x, _ = _block(x, stacked_layer_view(local, l), cfg_loc,
+                                  cos, sin, mask, None, reduce=psum)
+                    return x, None
+
+                x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
+                new_caches = None
+            else:
+                def body(carry, l):
+                    x, c = carry
+                    x, cat = _block(x, stacked_layer_view(local, l), cfg_loc,
+                                    cos, sin, mask, StackedCacheAt(c, l),
+                                    reduce=psum)
+                    return (x, cat.caches), None
+
+                (x, new_caches), _ = jax.lax.scan(
+                    body, (x, caches), jnp.arange(n_layers))
+
+            x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps)
+            logits_part = linear(
+                x, _local_view(params["lm_head"], d, row=False))
             return logits_part, new_caches
 
         return run(params, tokens, caches, cos, sin, mask)
