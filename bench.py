@@ -122,7 +122,7 @@ def build_quantized_llama(cfg, key, spec, dtype, quantize_lm_head=False,
 
 
 def decode_runner_pair(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
-                       scan_layers=False):
+                       scan_layers=False, forward=None):
     """(run_lo, run_once_lo-style callables) for slope-timed decode.
 
     Returns two zero-arg callables (already compiled) that run the jitted
@@ -130,6 +130,10 @@ def decode_runner_pair(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     An eager prefill costs ~30 s of per-op tunnel dispatch with multi-second
     variance, drowning the step-count slope entirely -- hence one fully
     jitted program per length.
+
+    ``forward`` overrides the model fn (signature ``fwd(params, tokens,
+    cfg, caches=..., positions=..., attn_mask=...)``) -- e.g. a tp_block
+    shard_map forward; ``scan_layers`` then only selects the cache layout.
     """
     import jax
     import jax.numpy as jnp
@@ -139,7 +143,8 @@ def decode_runner_pair(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
     from iron_weight_only_quant_tpu.models import llama_forward
     from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
 
-    fwd = llama_forward_scan if scan_layers else llama_forward
+    fwd = forward if forward is not None else (
+        llama_forward_scan if scan_layers else llama_forward)
 
     def make_runner(steps):
         @jax.jit
@@ -201,11 +206,11 @@ def interleaved_decode_slopes(pairs, t_lo=12, t_hi=36, rounds=(5, 5, 8)):
 
 
 def decode_time_per_step(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
-                         scan_layers=False):
+                         scan_layers=False, forward=None):
     """Slope-timed per-step decode latency (single-model convenience;
     probe scripts' entry point).  See decode_runner_pair/interleaved_decode_slopes."""
     pair = decode_runner_pair(cfg, params, batch, t_lo, t_hi, max_len,
-                              scan_layers)
+                              scan_layers, forward=forward)
     return interleaved_decode_slopes({"m": pair}, t_lo, t_hi)["m"]
 
 
@@ -280,7 +285,8 @@ HBM_SPEC_GBPS = 819.0  # v5e paper number: physical sanity bound
 
 def kernel_roofline(spec, shapes=((4096, 4096), (11008, 4096),
                                   (4096, 11008)), rounds=4,
-                    hbm_floor_bytes=384 * 2**20, bits_label="w4"):
+                    hbm_floor_bytes=384 * 2**20, bits_label="w4",
+                    pad_n_to=512):
     """Per-shape kernel-level roofline at decode shapes.
 
     HBM residency WITHOUT dispatch distortion: the packed side rotates
@@ -320,7 +326,7 @@ def kernel_roofline(spec, shapes=((4096, 4096), (11008, 4096),
         def make_qt():
             w = jnp.asarray(
                 rng.normal(size=(k, n)).astype(np.float32) * 0.02)
-            return quantize_tensor(w, spec, pad_n_to=512)
+            return quantize_tensor(w, spec, pad_n_to=pad_n_to)
 
         qt0 = make_qt()
         qb_one = (qt0.qweight.size + qt0.scales.size * 4
@@ -390,17 +396,25 @@ def kernel_roofline(spec, shapes=((4096, 4096), (11008, 4096),
 
 
 def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
-                     scan=False):
+                     scan=False, forward=None, family=None, tp_block=False,
+                     mesh=None):
     """Continuous-batching throughput: mixed-length requests through
     engine.serve with chunked device steps (one host sync per ``chunk``
     tokens -- the host round-trip is ~25 ms through the tunnel).
 
     ``scan=True`` serves through the scan-over-layers forward on stacked
     params (slot-local stacked KV timelines) -- the 13B/70B-depth serving
-    configuration."""
+    configuration.  ``forward`` overrides the model fn (e.g.
+    opt_forward_scan); ``tp_block``/``mesh`` route through the shard_map
+    tensor-parallel path (mesh model=1 measures the wrapper cost on one
+    chip)."""
     import random
 
-    from iron_weight_only_quant_tpu.config import EngineConfig, KVCacheConfig
+    from iron_weight_only_quant_tpu.config import (
+        EngineConfig,
+        KVCacheConfig,
+        MeshConfig,
+    )
     from iron_weight_only_quant_tpu.engine import InferenceEngine
 
     rng = random.Random(seed)
@@ -413,16 +427,23 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
     from iron_weight_only_quant_tpu.models import llama_forward
     from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
 
+    if forward is None:
+        forward = llama_forward_scan if scan else llama_forward
     # size the cache to the workload: prompts <= 64 + 32 new = 96 columns.
     # t_max 64 -> 128 measured +0.41 ms/step of cache-decode + attention
     # traffic (scripts/probe_chunk_gap.py), so the spare 32 columns of a
     # 128 cache were pure overhead
     t_need = max(len(r) for r in reqs) + max_new
     ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=t_need),
-                        max_batch_size=nslots)
-    eng = InferenceEngine(params, cfg,
-                          llama_forward_scan if scan else llama_forward,
-                          engine_cfg=ecfg, dtype=jnp.bfloat16)
+                        max_batch_size=nslots,
+                        mesh=mesh if mesh is not None else MeshConfig())
+    eng = InferenceEngine(params, cfg, forward, family=family,
+                          engine_cfg=ecfg, dtype=jnp.bfloat16,
+                          tp_block=tp_block)
+    return _serve_measure(eng, reqs, max_new, chunk)
+
+
+def _serve_measure(eng, reqs, max_new, chunk):
     stats = {}
     run = lambda: eng.serve(reqs, max_new_tokens=max_new, chunk=chunk,  # noqa: E731
                             stats=stats)
@@ -438,6 +459,7 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
     # never emit eos_token=-1, but the accounting no longer assumes that)
     n_generated = sum(len(r) for r in out)
     n_prompt = sum(len(r) for r in reqs)
+    nslots = eng.engine_cfg.max_batch_size
     slot_steps = max(stats.get("n_steps", 1) * nslots, 1)
     lat = {}
     for key, series in (("ttft", stats.get("ttft_s")),
@@ -475,6 +497,174 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
         "serve_n_chunks": stats.get("n_chunks", 0),
         **lat,
     }
+
+
+def build_quantized_opt(cfg, key, spec, dtype, stacked=True):
+    """Random-init quantized OPT, built straight into stacked buffers
+    (build_quantized_llama's memory discipline; OPT linears carry biases)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.models.opt import POS_OFFSET
+    from iron_weight_only_quant_tpu.quantize import quantize_tensor
+
+    h, f = cfg.hidden_size, cfg.ffn_dim
+    fn_cache = {}
+
+    def qlin(k, kin, kout):
+        if spec is None:
+            w = jax.random.normal(k, (kin, kout), dtype) * (kin**-0.5)
+            return {"w": w, "b": jnp.zeros((kout,), dtype)}
+        if (kin, kout) not in fn_cache:
+            def make(kk, _kin=kin, _kout=kout):
+                return quantize_tensor(
+                    jax.random.normal(kk, (_kin, _kout), jnp.float32)
+                    * (_kin**-0.5), spec, pad_n_to=512)
+
+            fn_cache[(kin, kout)] = jax.jit(make)
+        return {"w": fn_cache[(kin, kout)](k), "b": jnp.zeros((kout,), dtype)}
+
+    def ln():
+        return {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+
+    keys = iter(jax.random.split(key, 3 + cfg.num_layers * 6))
+
+    def one_layer():
+        return {
+            "attn_norm": ln(),
+            "q": qlin(next(keys), h, h),
+            "k": qlin(next(keys), h, h),
+            "v": qlin(next(keys), h, h),
+            "o": qlin(next(keys), h, h),
+            "final_norm": ln(),
+            "fc1": qlin(next(keys), h, f),
+            "fc2": qlin(next(keys), f, h),
+        }
+
+    if stacked:
+        from iron_weight_only_quant_tpu.models.common import (
+            _stack_fill,
+            pad_stacked_sides,
+        )
+
+        first = one_layer()
+        bufs = jax.tree.map(
+            lambda a: jnp.zeros((cfg.num_layers,) + a.shape, a.dtype), first)
+        bufs = _stack_fill(bufs, first, jnp.asarray(0, jnp.int32))
+        del first
+        for l in range(1, cfg.num_layers):
+            ly = one_layer()
+            bufs = _stack_fill(bufs, ly, jnp.asarray(l, jnp.int32))
+            del ly
+        body = {"layers_stacked": {k: pad_stacked_sides(v)
+                                   for k, v in bufs.items()}}
+    else:
+        body = {"layers": [one_layer() for _ in range(cfg.num_layers)]}
+    return {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02,
+        "embed_pos": jax.random.normal(
+            next(keys), (cfg.max_position_embeddings + POS_OFFSET, h),
+            dtype) * 0.02,
+        **body,
+        "final_norm": ln(),
+    }
+
+
+def run_opt_bench(args):
+    """OPT-6.7B-shape W4 decode + serve on the scan fast path (round-5:
+    OPT joins the serving path; the reference's own deepest driver is
+    gptq/opt.py and its kernel benchmark is OPT-175B FC2).  Same
+    methodology as the llama flow: slope-timed scan decode, reduced-depth
+    W4/bf16 twins for the per-layer/roofline split, continuous-batching
+    serve; sidecar benchmarks/bench_opt67b.json."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from iron_weight_only_quant_tpu.config import QuantSpec
+    from iron_weight_only_quant_tpu.models import OPTConfig
+    from iron_weight_only_quant_tpu.models.opt import opt_forward_scan
+
+    cfg = OPTConfig.opt_6_7b()
+    batch = 8
+    ratio_layers = 8
+    spec = QuantSpec(fmt="int", bits=4, group_size=128, symmetric=False)
+    key = jax.random.PRNGKey(0)
+
+    def layer_bytes(c, packed):
+        h, f = c.hidden_size, c.ffn_dim
+        shapes = [(h, h)] * 4 + [(h, f), (f, h)]
+        total = 0.0
+        for kin, kout in shapes:
+            if packed:
+                total += kin * kout / 2 + (kin // 128) * kout * 4 * 2
+            else:
+                total += kin * kout * 2
+            total += kout * 2  # bias
+        return total
+
+    params = build_quantized_opt(cfg, key, spec, jnp.bfloat16)
+    t_step = decode_time_per_step(cfg, params, batch, scan_layers=True,
+                                  forward=opt_forward_scan)
+    serve_stats = None
+    if not args.no_serve:
+        try:
+            serve_stats = serve_throughput(cfg, params, batch, scan=True,
+                                           forward=opt_forward_scan)
+            serve_stats["serve_forward"] = "scan"
+        except Exception as e:
+            print(f"warning: opt serve bench failed: {e}", file=sys.stderr)
+            serve_stats = {"serve_error": str(e)[:200]}
+    del params
+
+    cfg_r = dataclasses.replace(cfg, num_layers=ratio_layers)
+    p_w4 = build_quantized_opt(cfg_r, key, spec, jnp.bfloat16)
+    t_w4 = decode_time_per_step(cfg_r, p_w4, batch, scan_layers=True,
+                                forward=opt_forward_scan)
+    del p_w4
+    p_bf16 = build_quantized_opt(cfg_r, key, None, jnp.bfloat16)
+    t_bf16 = decode_time_per_step(cfg_r, p_bf16, batch, scan_layers=True,
+                                  forward=opt_forward_scan)
+    del p_bf16
+
+    per_layer_w4 = (t_step - t_w4) / (cfg.num_layers - ratio_layers)
+    fixed = max(t_w4 - ratio_layers * per_layer_w4, 0.0)
+    per_layer_bf16 = max(t_bf16 - fixed, 1e-9) / ratio_layers
+    w4_gbps = layer_bytes(cfg, True) / per_layer_w4 / 1e9
+    dense_gbps = layer_bytes(cfg, False) / per_layer_bf16 / 1e9
+
+    result = {
+        "metric": "opt6.7b-shape W4g128 decode throughput, 1 chip",
+        "value": round(batch / t_step, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(t_bf16 / t_w4 / 1.9, 3),
+        "detail": {
+            "per_step_ms": round(t_step * 1e3, 2),
+            "batch": batch,
+            "speedup_vs_bf16_dense": round(t_bf16 / t_w4, 3),
+            "roofline_fraction": round(w4_gbps / dense_gbps, 3),
+            "w4_stream_gbps": round(w4_gbps, 1),
+            "dense_stream_gbps": round(dense_gbps, 1),
+            "per_layer_us": round(per_layer_w4 * 1e6, 1),
+            "fixed_overhead_us": round(fixed * 1e6, 1),
+            "fixed_note": ("OPT's tied lm_head streams the full 412 MB "
+                           "bf16 embed per step (x @ embed.T, the "
+                           "architecture's own choice)"),
+            **(serve_stats or {}),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    import os
+    import time as _time
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks")
+    os.makedirs(bench_dir, exist_ok=True)
+    result["recorded_unix"] = int(_time.time())
+    with open(os.path.join(bench_dir, "bench_opt67b.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 def qhead_quality_delta(spec, seeds=5):
@@ -559,9 +749,10 @@ def main():
                     help="disable in-kernel rmsnorm (folded-gamma pre_norm "
                          "path; ~37 us/layer of XLA norm ops, probe_glue.py)")
     ap.add_argument("--model", default="7b",
-                    choices=["7b", "13b", "70b_tp8"],
-                    help="llama shape to benchmark (13b implies --scan for "
-                         "depth-independent compile time)")
+                    choices=["7b", "13b", "70b_tp8", "opt67b"],
+                    help="model shape to benchmark (13b implies --scan for "
+                         "depth-independent compile time; opt67b runs the "
+                         "OPT-6.7B scan-path flow)")
     args = ap.parse_args()
     if args.model == "13b":
         args.scan = True
@@ -572,6 +763,10 @@ def main():
     # take minutes; cached runs complete in ~2-3 min
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.model == "opt67b":
+        run_opt_bench(args)
+        return
 
     import jax.numpy as jnp
 
@@ -671,12 +866,47 @@ def main():
             prenorm=not args.no_prenorm))
 
     serve_stats = None
+    tp_stats = {}
     if args.model in ("13b", "70b_tp8"):
         # three models alive at once exceed HBM at this scale: measure
         # sequentially (accepting window drift on the ratio numbers)
         params_w4 = build(cfg, spec)
-        t_step = decode_time_per_step(cfg, params_w4, batch,
-                                      scan_layers=args.scan)
+        if args.model == "70b_tp8":
+            # the TP x scan composition at d=1 (round-5): the same slice
+            # through make_tp_llama_forward_stacked on a 1-chip mesh --
+            # shard_map wrapper + two psums/layer included, interleaved
+            # with the plain scan forward in the SAME timing windows.
+            # This is the code path the real TP=8 deployment runs; its
+            # per-layer cost vs the plain scan bounds the wrapper overhead
+            # on the record (r4 relied on a separate flat-model probe).
+            from iron_weight_only_quant_tpu.config import MeshConfig
+            from iron_weight_only_quant_tpu.parallel import make_mesh
+            from iron_weight_only_quant_tpu.parallel.tp_block import (
+                make_tp_llama_forward_stacked,
+            )
+
+            mesh1 = make_mesh(MeshConfig(data=1, model=1))
+            tp_fwd = make_tp_llama_forward_stacked(cfg, mesh1)
+            pairs = {
+                "plain": decode_runner_pair(cfg, params_w4, batch,
+                                            scan_layers=True),
+                "tp1": decode_runner_pair(cfg, params_w4, batch,
+                                          scan_layers=True, forward=tp_fwd),
+            }
+            slopes = interleaved_decode_slopes(pairs)
+            t_step = slopes["plain"]
+            tp_stats = {
+                "tp_scan_d1_per_step_ms": round(slopes["tp1"] * 1e3, 2),
+                "tp_scan_d1_overhead": round(slopes["tp1"] / t_step - 1, 4),
+                "tp_scan_d1_note": (
+                    "same stacked slice through the shard_map TP scan "
+                    "forward on a model=1 mesh, interleaved windows; "
+                    "overhead = wrapper + 2 psums/layer at d=1"),
+            }
+            del pairs
+        else:
+            t_step = decode_time_per_step(cfg, params_w4, batch,
+                                          scan_layers=args.scan)
         if not args.no_serve:
             # serve rides the scan path (stacked slot-local KV); the
             # model is still resident here, before the ratio twins build
@@ -687,6 +917,25 @@ def main():
             except Exception as e:
                 print(f"warning: serve bench failed: {e}", file=sys.stderr)
                 serve_stats = {"serve_error": str(e)[:200]}
+            if args.model == "70b_tp8":
+                # serve UNDER tp_block at d=1: continuous batching through
+                # the shard_map TP scan forward (the full 70B serving
+                # configuration on one chip's slice) -- round-4 missing
+                # item 2b
+                try:
+                    s_tp = serve_throughput(
+                        cfg, params_w4, batch, scan=True, family="llama",
+                        tp_block=True, mesh=MeshConfig(1, 1))
+                    serve_stats["serve_tp_d1_toks_per_s"] = \
+                        s_tp["serve_toks_per_s"]
+                    serve_stats["serve_tp_d1_vs_plain"] = round(
+                        s_tp["serve_toks_per_s"]
+                        / max(serve_stats.get("serve_toks_per_s", 1), 1e-9),
+                        3)
+                except Exception as e:
+                    print(f"warning: tp serve bench failed: {e}",
+                          file=sys.stderr)
+                    serve_stats["serve_tp_d1_error"] = str(e)[:200]
         del params_w4
         params_w4 = None
         p_w4 = build(cfg_r, spec)
@@ -740,6 +989,27 @@ def main():
             print(f"warning: serve bench failed: {e}", file=sys.stderr)
             if serve_stats is None:
                 serve_stats = {"serve_error": str(e)[:200]}
+        if args.model == "7b" and not args.scan:
+            # serve UNDER tp_block at d=1 (round-4 missing item 2b): the
+            # same flat fused params through the shard_map megatron forward
+            # on a model=1 mesh, next to the plain-engine serve number --
+            # the wrapper+psum cost of the multi-chip serving path on one
+            # chip
+            try:
+                from iron_weight_only_quant_tpu.config import MeshConfig
+
+                s_tpb = serve_throughput(cfg, params_w4, batch,
+                                         family="llama", tp_block=True,
+                                         mesh=MeshConfig(1, 1))
+                serve_stats["serve_tpblock_d1_toks_per_s"] = \
+                    s_tpb["serve_toks_per_s"]
+                serve_stats["serve_tpblock_d1_vs_plain"] = round(
+                    s_tpb["serve_toks_per_s"]
+                    / max(serve_stats.get("serve_toks_per_s", 1), 1e-9), 3)
+            except Exception as e:
+                print(f"warning: tp_block serve bench failed: {e}",
+                      file=sys.stderr)
+                serve_stats["serve_tpblock_d1_error"] = str(e)[:200]
     del params_w4
 
     # roofline accounting (BASELINE.md: >=80% of roofline on every chip):
@@ -757,7 +1027,7 @@ def main():
     dense_gbps = layer_weight_bytes(cfg, False) / per_layer_bf16 / 1e9
     roofline_frac = w4_gbps / dense_gbps
 
-    kroof = kroof70 = None
+    kroof = kroof70 = kroof_tp8 = kroof_opt = None
     if not args.no_kernel_roofline and not args.small:
         try:
             kroof = kernel_roofline(spec)
@@ -776,6 +1046,32 @@ def main():
                 print(f"warning: 70b kernel_roofline failed: {e}",
                       file=sys.stderr)
                 kroof70 = {"error": str(e)[:200]}
+            # TP=8 per-shard shapes (round-4 weak item 3: under TP>=4 every
+            # per-shard N lands in the narrow-N regime): fused qkv
+            # 8192x1280, fused gate_up 8192x7168, row-parallel o 1024x8192
+            # and down 3584x8192, naked q 8192x1024 and kv 8192x256
+            try:
+                # pad_n_to=128: the deployed tp_block shard artifacts are
+                # padded to 128-col shard blocks (fuse_projections_tp),
+                # not the single-chip 512 -- measure the real stored widths
+                kroof_tp8 = kernel_roofline(
+                    spec, shapes=((8192, 1280), (8192, 7168), (1024, 8192),
+                                  (3584, 8192), (8192, 1024), (8192, 256)),
+                    rounds=3, pad_n_to=128)
+            except Exception as e:
+                print(f"warning: tp8 kernel_roofline failed: {e}",
+                      file=sys.stderr)
+                kroof_tp8 = {"error": str(e)[:200]}
+            # the reference's flagship kernel benchmark is the OPT-175B
+            # FC1/FC2 mat-vec (gptq/test_kernel.py:9-52: 12288x49152 and
+            # 49152x12288) -- the direct TPU analogue on this kernel
+            try:
+                kroof_opt = kernel_roofline(
+                    spec, shapes=((12288, 49152), (49152, 12288)), rounds=2)
+            except Exception as e:
+                print(f"warning: opt175b kernel_roofline failed: {e}",
+                      file=sys.stderr)
+                kroof_opt = {"error": str(e)[:200]}
 
     qhead_stats = {}
     if qhead and not args.small:
@@ -805,6 +1101,11 @@ def main():
             **qhead_stats,
             **({"kernel_roofline": kroof} if kroof else {}),
             **({"kernel_roofline_70b_shapes": kroof70} if kroof70 else {}),
+            **({"kernel_roofline_tp8_shard_shapes": kroof_tp8}
+               if kroof_tp8 else {}),
+            **({"kernel_roofline_opt175b_fc_shapes": kroof_opt}
+               if kroof_opt else {}),
+            **tp_stats,
             **(serve_stats or {}),
             "reference_baseline": "gptq 3-bit CUDA kernel 1.9x vs fp16 (gptq/README.md:22)",
             "device": str(jax.devices()[0]),
@@ -831,7 +1132,8 @@ def main():
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
     sidecars = {"13b": ("bench_13b.json", "serve_13b"),
-                "70b_tp8": ("bench_70b_tp8.json", "slice_70b_tp8")}
+                "70b_tp8": ("bench_70b_tp8.json", "slice_70b_tp8"),
+                "opt67b": ("bench_opt67b.json", "opt67b")}
     if args.model in sidecars:
         # sidecar for the default (7b) run to embed: these build+measure
         # cycles are too long to put inside every driver bench invocation

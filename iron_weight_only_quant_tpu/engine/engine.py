@@ -314,7 +314,10 @@ class InferenceEngine:
         self.pad_token = pad_token
         self.dtype = dtype
         self.mesh = None
-        if engine_cfg.mesh.ndevices > 1:
+        # tp_block with a 1-device mesh is allowed: it measures the shard_map
+        # wrapper + psum overhead against the plain engine on one chip (the
+        # d=1 probes behind the +8.7%/layer number)
+        if engine_cfg.mesh.ndevices > 1 or tp_block:
             if family is None:
                 raise ValueError("family required for sharded engines")
             self.mesh = make_mesh(engine_cfg.mesh)

@@ -52,13 +52,16 @@ SHAPES = [
 
 
 def plans_for(k, n):
-    """Candidate (tn, tpk) pairs: the current plan + grid-deepening ones."""
+    """Candidate (tn, tpk) pairs: the current plan + grid-deepening ones.
+
+    Ordered current-first then descending tile size; tn=128 excluded
+    (narrow lanes measured ~275 GB/s across the board, round-1 NOTES)."""
     kp = k // 2
-    cands = set()
     cur = dm._plan_tiles(n, kp, k, k // 128, 16, slabs=2)
+    cands = {}
     if cur:
-        cands.add((cur[0], cur[1], "current"))
-    for tn in (2048, 1024, 512, 256, 128):
+        cands[(cur[0], cur[1])] = "current"
+    for tn in (2048, 1024, 512, 256):
         if n % tn:
             continue
         for tpk in (kp, 4096, 2048, 1024, 512, 256):
@@ -66,10 +69,12 @@ def plans_for(k, n):
                 continue
             steps = (n // tn) * (kp // tpk)
             tile = tn * tpk
-            if tile > 4 * 2**20 or tile < 2**17 or steps < 2 or steps > 96:
+            if tile > 4 * 2**20 or tile < 2**18 or steps < 2 or steps > 64:
                 continue
-            cands.add((tn, tpk, f"s{steps}"))
-    return sorted(cands)[:10]
+            cands.setdefault((tn, tpk), f"s{steps}")
+    out = sorted(cands.items(),
+                 key=lambda kv: (kv[1] != "current", -kv[0][0] * kv[0][1]))
+    return [(tn, tpk, tag) for (tn, tpk), tag in out[:9]]
 
 
 def measure(k, n, tn, tpk):

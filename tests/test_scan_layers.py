@@ -122,6 +122,32 @@ class TestOptScan:
         b2, _ = opt_forward_scan(stack_opt_layers(qp), nxt, cfg, caches=cs)
         np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-5)
 
+    def test_serve_through_scan(self, opt_model):
+        """OPT on the serving fast path (round-5: continuous batching over
+        stacked OPT layers + stacked slot-local quantized KV), token-exact
+        vs the flat-layers engine."""
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+        from iron_weight_only_quant_tpu.models.opt import (
+            opt_forward,
+            opt_forward_scan,
+            stack_opt_layers,
+        )
+
+        cfg, params = opt_model
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        )
+        kv = KVCacheConfig(max_seq_len=48, kv_bits=8, kv_group_size=16)
+        ecfg = EngineConfig(kv=kv, max_batch_size=2)
+        eng_flat = InferenceEngine(qp, cfg, opt_forward, engine_cfg=ecfg)
+        eng_scan = InferenceEngine(stack_opt_layers(qp), cfg,
+                                   opt_forward_scan, engine_cfg=ecfg)
+        reqs = [[1, 2, 3], [7, 5], [9, 9, 9, 9]]
+        a = eng_flat.serve(reqs, max_new_tokens=3, chunk=2)
+        b = eng_scan.serve(reqs, max_new_tokens=3, chunk=2)
+        assert a == b
+
 
 class TestBloomScan:
     def test_forward_matches(self, tokens):
