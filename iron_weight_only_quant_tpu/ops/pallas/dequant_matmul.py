@@ -86,6 +86,10 @@ def _flat_via_prefetch(tpk: int) -> bool:
 _FORCE_TN: Optional[int] = None
 _FORCE_TPK: Optional[int] = None
 
+# below this packed-weight size a shape is latency-bound and the planner
+# deepens the grid to >=8 steps (see _plan_tiles `small` branch)
+_SMALL_WEIGHT_BYTES = 4 * 2**20
+
 
 def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
     """Joint (tn, tpk) selection, tuned on the v5e (scripts/probe_tiles.py).
@@ -101,11 +105,29 @@ def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
         forced = _plan_forced(n, kp, k, rows, tm, slabs)
         if forced is not None:
             return forced
+    small = kp * n < _SMALL_WEIGHT_BYTES
     best = None
     for tn in (2048, 1024, 512, 256, 128):
         if n % tn != 0:
             continue
         tpk, rs, g_target = _plan_k(kp, rows, k, tn, tm, slabs)
+        if small:
+            # tiny-weight shapes (e.g. the TP=8 kv projection 8192x256,
+            # ~1 MB packed) are latency-bound: a 1-2 step grid never
+            # overlaps DMA with compute.  Deepening to >=8 steps measured
+            # +11% (334.5 -> 372.8 GB/s, scripts/probe_narrow_n2.py
+            # INTERLEAVED windows); on >=4 MB shapes the same deepening
+            # is noise-to-negative, so it is gated on total packed bytes.
+            g = k // rows if rows > 1 else None
+            base = 128
+            if g is not None and g > 128:
+                base = g if g % 128 == 0 else 128 * g
+            while ((n // tn) * (kp // tpk) < 8 and tpk > base
+                   and tpk % 2 == 0 and (tpk // 2) % base == 0
+                   and kp % (tpk // 2) == 0 and tpk * tn // 2 >= 2**17):
+                tpk //= 2
+            rs = max(1, tpk // g) if g is not None else 1
+            g_target = tpk // rs
         tile_bytes = tpk * tn
         steps = (n // tn) * (kp // tpk)
         feasible = tile_bytes <= _TILE_BYTES_CAP and steps >= 4
