@@ -401,10 +401,25 @@ class InferenceEngine:
                 # fuse per layer BEFORE stacking (fuse_llama_layer /
                 # build_quantized_llama(fuse=True), as __graft_entry__ and
                 # bench.py do); StackedFusedView then keeps the win on the
-                # scan path.
+                # scan path.  When the engine stacks below (scan forward +
+                # flat params), this fusion has already run, so the stacked
+                # views keep the win.
                 from ..models.llama import fuse_llama_projections
 
                 params = fuse_llama_projections(params)
+            if "layers" in params and getattr(forward, "__name__", "") in (
+                "llama_forward_scan", "opt_forward_scan",
+                "bloom_forward_scan",
+            ):
+                # convenience: a scan forward with flat per-layer params --
+                # stack here (fusion above already applied) instead of
+                # erroring on the missing "layers_stacked" key.  Memory-
+                # bounded 70B-class builders should still quantize straight
+                # into stacked buffers themselves (peak HBM = model + one
+                # layer, bench.build_quantized_llama(stacked=True)).
+                from ..models.common import stack_model_layers
+
+                params = stack_model_layers(params)
             self.params = params
 
     # ----------------------------------------------------------- internals

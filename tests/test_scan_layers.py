@@ -149,6 +149,34 @@ class TestOptScan:
         assert a == b
 
 
+def test_engine_auto_stacks_for_scan_forward():
+    """Flat params + a scan forward: the engine fuses (when enabled) then
+    stacks, and generates the same tokens as the flat-layers engine."""
+    from iron_weight_only_quant_tpu.config import EngineConfig
+    from iron_weight_only_quant_tpu.engine import InferenceEngine
+    from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward, llama_init
+    from iron_weight_only_quant_tpu.models.llama import llama_forward_scan
+
+    cfg = LlamaConfig.tiny()
+    params = llama_init(cfg, jax.random.PRNGKey(4))
+    qp, _ = quantize_model_params(
+        params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+    )
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=48), max_batch_size=2,
+                        fuse_projections=True)
+    eng_scan = InferenceEngine(qp, cfg, llama_forward_scan, family="llama",
+                               engine_cfg=ecfg)
+    assert "layers_stacked" in eng_scan.params
+    from iron_weight_only_quant_tpu.models.common import FusedLinear
+    assert isinstance(eng_scan.params["layers_stacked"].get("qkv"),
+                      FusedLinear)  # fused BEFORE stacking
+    eng_flat = InferenceEngine(qp, cfg, llama_forward, family="llama",
+                               engine_cfg=ecfg)
+    prompts = [[5, 2, 8], [1, 7, 3, 9]]
+    assert eng_scan.generate(prompts, max_new_tokens=4) == \
+        eng_flat.generate(prompts, max_new_tokens=4)
+
+
 class TestBloomScan:
     def test_forward_matches(self, tokens):
         from iron_weight_only_quant_tpu.models.bloom import (
@@ -183,6 +211,35 @@ class TestBloomScan:
         a, _ = bloom_forward(params, tokens, cfg, caches=cu)
         b, _ = bloom_forward_scan(stack_bloom_layers(params), tokens, cfg, caches=cs)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_serve_through_scan(self):
+        """BLOOM on the serving fast path (round-5; OPT's twin), token-exact
+        vs the flat-layers engine."""
+        from iron_weight_only_quant_tpu.config import EngineConfig
+        from iron_weight_only_quant_tpu.engine import InferenceEngine
+        from iron_weight_only_quant_tpu.models.bloom import (
+            BloomConfig,
+            bloom_forward,
+            bloom_forward_scan,
+            bloom_init,
+        )
+
+        cfg = BloomConfig.tiny()
+        params = bloom_init(cfg, jax.random.PRNGKey(6))
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False)
+        )
+        kv = KVCacheConfig(max_seq_len=48, kv_bits=8, kv_group_size=16)
+        ecfg = EngineConfig(kv=kv, max_batch_size=2)
+        eng_flat = InferenceEngine(qp, cfg, bloom_forward, engine_cfg=ecfg)
+        # flat params + scan forward: the engine stacks (auto-stack path)
+        eng_scan = InferenceEngine(qp, cfg, bloom_forward_scan,
+                                   engine_cfg=ecfg)
+        assert "layers_stacked" in eng_scan.params
+        reqs = [[1, 2, 3], [7, 5], [9, 9, 9, 9]]
+        a = eng_flat.serve(reqs, max_new_tokens=3, chunk=2)
+        b = eng_scan.serve(reqs, max_new_tokens=3, chunk=2)
+        assert a == b
 
 
 def test_quantized_kv_stacked(model, tokens):
