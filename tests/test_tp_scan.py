@@ -189,6 +189,23 @@ def test_engine_serve_flat_tp_matches(setup):
     assert a == b
 
 
+def test_gspmd_engine_stacked_params(setup):
+    """param_specs/apply_sharding handle layers_stacked under the plain
+    GSPMD engine (no tp_block): generation matches the unsharded scan
+    engine on the virtual mesh (XLA partitions the fallback dequant)."""
+    cfg, d, qflat, mesh, ref_stacked, tp_stacked = setup
+    ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=48),
+                        mesh=MeshConfig(data=1, model=d), max_batch_size=2)
+    eng = InferenceEngine(ref_stacked, cfg, llama_forward_scan,
+                          family="llama", engine_cfg=ecfg)
+    ecfg_ref = EngineConfig(kv=KVCacheConfig(max_seq_len=48), max_batch_size=2)
+    eng_ref = InferenceEngine(ref_stacked, cfg, llama_forward_scan,
+                              engine_cfg=ecfg_ref)
+    prompts = [[5, 2, 8], [1, 7, 3, 9]]
+    assert eng.generate(prompts, max_new_tokens=4) == \
+        eng_ref.generate(prompts, max_new_tokens=4)
+
+
 def test_gqa_depth_stacked_tp(cpu_devices):
     """GQA head geometry (the 70B shape class) + deeper stack + int8 KV
     through engine serve on a model=4 mesh."""
