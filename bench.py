@@ -150,7 +150,8 @@ def decode_runner_pair(cfg, params, batch, t_lo=12, t_hi=36, max_len=64,
         @jax.jit
         def run(params, prompt):
             mk = make_stacked_caches if scan_layers else make_caches
-            caches = mk(cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd,
+            caches = mk(cfg.num_layers, batch,
+                        getattr(cfg, "num_kv_heads", cfg.num_heads), cfg.hd,
                         KVCacheConfig(max_seq_len=max_len), jnp.bfloat16)
             logits, caches = fwd(params, prompt, cfg, caches=caches)
             tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
