@@ -130,13 +130,36 @@ def _plan_tiles(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
             g_target = tpk // rs
         tile_bytes = tpk * tn
         steps = (n // tn) * (kp // tpk)
-        feasible = tile_bytes <= _TILE_BYTES_CAP and steps >= 4
+        feasible = (tile_bytes <= _TILE_BYTES_CAP and steps >= 4
+                    and _vmem_est(tn, tpk, tm, rows, slabs) <= _VMEM_PLAN_CAP)
         score = (1 if feasible else 0, tile_bytes if feasible else 0, tn)
         if best is None or score > best[0]:
             best = (score, tn, tpk, rs, g_target)
     if best is None:
         return None
     return best[1:]
+
+
+# the scoped-vmem ceiling the kernel's working set must fit (the v5e scoped
+# limit is 16 MB; headroom for Mosaic's own scratch).  The old budget only
+# counted qw + x rows and let a 16 GB-K prefill WAVE (tm=256) plan blow the
+# scoped limit: OPT-6.7B fc2 (K=16384) under _serve_combo allocated 16.59 MB
+# (qw 2 MB x2 buffers + x slabs 2 MB + f32 side blocks 2 MB x2 + acc/out).
+# The cap is calibrated against the measured boundary: the 7B down-proj
+# wave plan (est 13.2 MB) runs, the OPT fc2 wave plan (est 14.25 MB) OOMs.
+_VMEM_PLAN_CAP = 13 * 2**20 + 2**19
+
+
+def _vmem_est(tn: int, tpk: int, tm: int, rows: int, slabs: int) -> int:
+    """Rough working-set estimate for one grid step, double-buffered where
+    the index map varies: packed qw tile, x slab blocks, full-row f32 side
+    blocks (N-tiled -> rebuffered on j), f32 accumulator, output tile."""
+    qw = tpk * tn * 2
+    xb = slabs * tm * tpk * 2 * 2
+    sides = 2 * (rows + 8) * tn * 4 * 2
+    acc = tm * tn * 4
+    out = tm * tn * 2 * 2
+    return qw + xb + sides + acc + out
 
 
 def _plan_forced(n: int, kp: int, k: int, rows: int, tm: int, slabs: int):
