@@ -40,10 +40,23 @@ def main(argv=None):
                          "the fused Pallas kernels per shard -- GSPMD "
                          "cannot partition pallas_call, so it serves "
                          "through the slower XLA dequant path)")
+    ap.add_argument("--scan", action="store_true",
+                    help="scan-over-layers serving (stacked weights, "
+                         "depth-independent compile time -- the 70B-class "
+                         "path; composes with --model_parallel via the "
+                         "shard_map TP scan forward)")
     args = ap.parse_args(argv)
     apply_platform(args)
 
     family, cfg, params, fwd = load_model(args)
+    if args.scan:
+        from ..models.bloom import bloom_forward_scan
+        from ..models.llama import llama_forward_scan
+        from ..models.opt import opt_forward_scan
+
+        fwd = {"llama": llama_forward_scan, "opt": opt_forward_scan,
+               "bloom": bloom_forward_scan}[family]
+        # flat params auto-stack inside the engine (fusion first)
     ecfg = EngineConfig(
         mesh=MeshConfig(data=args.data_parallel, model=args.model_parallel),
         kv=KVCacheConfig(max_seq_len=min(args.max_seq_len,
