@@ -1122,11 +1122,14 @@ def main():
             "per-chip TP=8 slice of llama2-70b (8/64 q heads, 1/8 kv "
             "heads, 3584/28672 ffn, full 8192 residual): all eight chips "
             "run these tokens in lockstep, so tokens/s here IS the "
-            "projected full-70B TP=8 decode rate minus ICI psums (2x "
-            "[B,1,8192] bf16/layer) and the shard_map wrapper "
-            "(+8.7%/layer at d=1, scripts/probe_tp_block.py); the lm_head "
-            "here is the full 32000 vocab (real TP vocab-shards it), so "
-            "the fixed cost is conservative")
+            "projected full-70B TP=8 decode rate minus ICI psums only -- "
+            "the shard_map TP-scan wrapper itself measured FREE at d=1 "
+            "(tp_scan_d1_overhead above).  ICI estimate: 2 all-reduces of "
+            "[8,1,8192] bf16 per layer = 512 KB/layer; at 40-180 GB/s "
+            "effective ring bandwidth that is ~3-13 us on 228 us/layer "
+            "(1.5-6%), so the honest projection band is ~0.94-0.99x the "
+            "printed value.  The lm_head here is the full 32000 vocab "
+            "(real TP vocab-shards it), so the fixed cost is conservative")
     import os
     import time as _time
 

@@ -42,6 +42,7 @@ from ..models.common import (
     stacked_layer_view,
 )
 from ..models.llama import _block
+from .tp_block import _SMAP_KW  # pallas outputs carry no vma metadata
 
 
 def stage_stack_llama_layers(params: Dict[str, Any], n_stages: int) -> Dict[str, Any]:
@@ -122,7 +123,8 @@ def make_pp_llama_forward(cfg, mesh: Mesh, n_microbatches: int,
             )
         out_spec = P(None, None, axis) if vocab_parallel else P(axis)
 
-        @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+        @partial(shard_map, mesh=mesh, **_SMAP_KW,
+                 in_specs=in_specs, out_specs=out_spec)
         def run(params, tokens, cos, sin, mask):
             stage = jax.lax.axis_index(axis)
             local = jax.tree.map(lambda a: a[0], params["stages"])
