@@ -359,6 +359,14 @@ class InferenceEngine:
                         # the single-chip fusion layout cannot column-shard
                         params = tpb.fuse_projections_tp(params, d)
             specs = param_specs(family, params)
+            if tp_block:
+                # the shard_map forwards read the embed REPLICATED (in_specs
+                # P(); OPT/BLOOM also read it transposed as the tied head).
+                # Leaving the GSPMD vocab-sharded placement would insert an
+                # all-gather of the whole table before every call.
+                from jax.sharding import PartitionSpec as _P
+
+                specs["embed"] = _P()
             self.params = apply_sharding(params, specs, self.mesh)
             if tp_block:
                 # explicit shard_map megatron forward: fused kernels run per
