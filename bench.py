@@ -398,7 +398,7 @@ def kernel_roofline(spec, shapes=((4096, 4096), (11008, 4096),
 
 def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
                      scan=False, forward=None, family=None, tp_block=False,
-                     mesh=None):
+                     mesh=None, prefill_abits=None):
     """Continuous-batching throughput: mixed-length requests through
     engine.serve with chunked device steps (one host sync per ``chunk``
     tokens -- the host round-trip is ~25 ms through the tunnel).
@@ -437,7 +437,8 @@ def serve_throughput(cfg, params, nslots, chunk=16, max_new=32, seed=3,
     t_need = max(len(r) for r in reqs) + max_new
     ecfg = EngineConfig(kv=KVCacheConfig(max_seq_len=t_need),
                         max_batch_size=nslots,
-                        mesh=mesh if mesh is not None else MeshConfig())
+                        mesh=mesh if mesh is not None else MeshConfig(),
+                        prefill_activation_bits=prefill_abits)
     eng = InferenceEngine(params, cfg, forward, family=family,
                           engine_cfg=ecfg, dtype=jnp.bfloat16,
                           tp_block=tp_block)

@@ -234,6 +234,17 @@ class EngineConfig:
     activation_dtype: str = "bfloat16"
     # 8 enables W4A8/W8A8 serving (int8 MXU path, ~0.3% act-quant error)
     activation_bits: Optional[int] = None
+    # activation bits for PREFILL phases only (chunked prefill + serve
+    # waves): the int8 MXU path wins on the large-m wave matmuls and loses
+    # on m=8 decode (NOTES round 1), so the phases want different settings.
+    # 16 = split-int8 fixed point (full effective precision, the FIGLUT-I
+    # realization); None = inherit activation_bits.
+    prefill_activation_bits: Optional[int] = None
+
+    def prefill_abits(self) -> Optional[int]:
+        return (self.prefill_activation_bits
+                if self.prefill_activation_bits is not None
+                else self.activation_bits)
     # fuse qkv / gate_up packed artifacts at engine build (exact column
     # concat; e2e-measured ~20 us/layer decode win on v5e -- NOTES.md).
     # Applies to llama-family params (single-chip layout, or the

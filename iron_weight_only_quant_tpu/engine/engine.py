@@ -204,10 +204,11 @@ def _serve_chunk(params, meta, page_table, caches, rng, forward, cfg,
 
 @partial(jax.jit,
          static_argnames=("forward", "cfg", "temperature", "top_k", "t_max",
-                          "s_len", "c", "abits"),
+                          "s_len", "c", "abits", "p_abits"),
          donate_argnames=("caches",))
 def _serve_combo(params, meta, page_table, caches, rng, forward, cfg,
-                 temperature, top_k, t_max, s_len, c, abits=None):
+                 temperature, top_k, t_max, s_len, c, abits=None,
+                 p_abits=None):
     """One prefill wave + C decode steps, device-side (ONE host sync).
 
     The wave feeds each slot's pending prompt tokens ([B, S] right-padded,
@@ -253,7 +254,9 @@ def _serve_combo(params, meta, page_table, caches, rng, forward, cfg,
     positions = jnp.minimum(lens_c[:, None] + jnp.arange(s)[None, :], t_max - 1)
     mask = cols[None, None, None, :] <= positions[:, None, :, None]
     rng, sub = jax.random.split(rng)
-    with activation_quant(abits):
+    # the WAVE is the large-m prefill matmul where the int8-MXU activation
+    # paths win; the chunk below stays on the decode setting (m=slots)
+    with activation_quant(p_abits):
         logits, caches = forward(params, toks, cfg, caches=caches,
                                  positions=positions, attn_mask=mask)
     idx = jnp.clip(n_valid - 1, 0, s - 1)
@@ -525,7 +528,7 @@ class InferenceEngine:
             )
             logits, caches = _prefill(
                 self.params, toks_j[:, start:end], positions, mask, caches,
-                self.forward, self.cfg, self.engine_cfg.activation_bits,
+                self.forward, self.cfg, self.engine_cfg.prefill_abits(),
             )
             start = end
 
@@ -786,6 +789,7 @@ class InferenceEngine:
                     self.params, jnp.asarray(meta), pt, caches, sub,
                     self.forward, self.cfg, temperature, top_k, t_max,
                     sbkt, c, self.engine_cfg.activation_bits,
+                    self.engine_cfg.prefill_abits(),
                 )
                 out_np = np.asarray(out)
                 t_prev, sync_t[0] = sync_t[0], _time.perf_counter()

@@ -356,3 +356,33 @@ class TestChunkedGenerate:
         prompts = [[1, 7, 3], [5, 2, 8]]
         assert e1.generate(prompts, max_new_tokens=6) == \
             e4.generate(prompts, max_new_tokens=6)
+
+
+def test_prefill_activation_bits_plumbing(cpu_devices):
+    """Per-phase activation bits: prefill_activation_bits routes to the
+    prefill/wave forwards only.  On CPU the XLA fallback ignores the
+    setting, so outputs must be identical -- this covers the plumbing
+    (trace-time static args, serve wave split); the numerics/perf claim is
+    measured on TPU (scripts/probe_a8_wave.py)."""
+    import jax
+
+    from iron_weight_only_quant_tpu.models import LlamaConfig, llama_forward, llama_init
+    from iron_weight_only_quant_tpu.quantize.model_pass import quantize_model_params
+
+    cfg = LlamaConfig.tiny()
+    params = llama_init(cfg, jax.random.PRNGKey(3))
+    qp, _ = quantize_model_params(
+        params, QuantSpec(fmt="int", bits=8, group_size=32, symmetric=False))
+
+    def eng(**kw):
+        return InferenceEngine(
+            qp, cfg, llama_forward,
+            engine_cfg=EngineConfig(kv=KVCacheConfig(max_seq_len=64),
+                                    max_batch_size=2, **kw))
+
+    prompts = [[1, 7, 3, 2, 9, 4], [5, 2]]
+    base_g = eng().generate(prompts, max_new_tokens=4)
+    base_s = eng().serve(prompts, max_new_tokens=4, chunk=2)
+    a16 = eng(prefill_activation_bits=16)
+    assert a16.generate(prompts, max_new_tokens=4) == base_g
+    assert a16.serve(prompts, max_new_tokens=4, chunk=2) == base_s

@@ -189,6 +189,47 @@ def test_engine_serve_flat_tp_matches(setup):
     assert a == b
 
 
+def test_lut_minifloat_tp_stacked(cpu_devices, tokens):
+    """fp4 (LUT-mode) packed artifacts through the TP scan forward:
+    codebooks replicate, scales shard, outputs match the unsharded scan."""
+    from iron_weight_only_quant_tpu.config import fp_spec
+
+    cfg = LlamaConfig.tiny()
+    d = 2
+    params = llama_init(cfg, jax.random.PRNGKey(9))
+    spec = fp_spec("fp4", 2, 1, group_size=32)
+    qflat = shard_llama_params(params, cfg, spec, d=d)
+    mesh = make_mesh(MeshConfig(data=1, model=d))
+    tp_fwd = make_tp_llama_forward_stacked(cfg, mesh)
+    tp_params = prepare_tp_stacked_llama(qflat, d)
+    assert tp_params["layers_stacked"]["qkv"].w.mode == "lut"
+    ref = stack_llama_layers(fuse_llama_projections(qflat))
+    rng = np.random.default_rng(7)
+    toks = jnp.asarray(rng.integers(0, 250, size=(2, 8)), jnp.int32)
+    a, _ = tp_fwd(tp_params, toks)
+    b, _ = llama_forward_scan(ref, toks, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_packed_int4_kv_tp_stacked(setup):
+    """Nibble-packed int4 KV caches (split-D byte layout) shard on the head
+    axis under the TP scan forward; serve matches the unsharded engine."""
+    cfg, d, qflat, mesh, ref_stacked, tp_stacked = setup
+    kv = KVCacheConfig(max_seq_len=48, kv_bits=4, kv_group_size=8)
+    eng_tp = InferenceEngine(
+        qflat, cfg, llama_forward_scan, family="llama",
+        engine_cfg=EngineConfig(kv=kv, mesh=MeshConfig(data=1, model=d),
+                                max_batch_size=2, fuse_projections=True),
+        tp_block=True)
+    eng_ref = InferenceEngine(ref_stacked, cfg, llama_forward_scan,
+                              engine_cfg=EngineConfig(kv=kv, max_batch_size=2))
+    reqs = [[1, 2, 3], [7, 5], [9, 9, 9, 9]]
+    a = eng_tp.serve(reqs, max_new_tokens=3, chunk=2)
+    b = eng_ref.serve(reqs, max_new_tokens=3, chunk=2)
+    assert a == b
+
+
 def test_gspmd_engine_stacked_params(setup):
     """param_specs/apply_sharding handle layers_stacked under the plain
     GSPMD engine (no tp_block): generation matches the unsharded scan
