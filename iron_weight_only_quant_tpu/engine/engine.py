@@ -329,24 +329,23 @@ class InferenceEngine:
                 from ..parallel import tp_block as tpb
 
                 d = self.mesh.shape["model"]
-                scan_fwd = getattr(forward, "__name__", "") == "llama_forward_scan"
+                scan_fwd = getattr(forward, "__name__", "") in (
+                    "llama_forward_scan", "opt_forward_scan",
+                    "bloom_forward_scan",
+                )
                 if "layers_stacked" in params:
                     # already-stacked params must arrive TP-prepared (the
                     # engine cannot repack/fuse [L, ...] artifacts in place)
-                    if family != "llama":
-                        raise NotImplementedError(
-                            "stacked tp_block is llama-only (make_tp_llama_"
-                            "forward_stacked); use flat layers for "
-                            f"family={family!r}")
                     tpb.validate_tp_stacked(params, d, family)
                     tp_stacked = True
-                elif scan_fwd and family == "llama":
+                elif scan_fwd:
                     # flat params + scan forward: prepare + stack here --
-                    # the TP x scan composition (the only executable 70B
-                    # serving shape: one compiled block body per shard, not
-                    # num_layers unrolled shard_map copies)
-                    params = tpb.prepare_tp_stacked_llama(
-                        params, d, fuse=engine_cfg.fuse_projections)
+                    # the TP x scan composition (the only executable shape
+                    # for 70B-class depth: one compiled block body per
+                    # shard, not num_layers unrolled shard_map copies)
+                    params = tpb.prepare_tp_stacked(
+                        params, d, fuse=engine_cfg.fuse_projections,
+                        family=family)
                     tp_stacked = True
                 else:
                     # shard_map gives row-parallel linears a bare row SLICE
@@ -377,7 +376,12 @@ class InferenceEngine:
                 from ..parallel import tp_block as tpb
 
                 if tp_stacked:
-                    tp_fwd = tpb.make_tp_llama_forward_stacked(cfg, self.mesh)
+                    stacked_builders = {
+                        "llama": tpb.make_tp_llama_forward_stacked,
+                        "opt": tpb.make_tp_opt_forward_stacked,
+                        "bloom": tpb.make_tp_bloom_forward_stacked,
+                    }
+                    tp_fwd = stacked_builders[family](cfg, self.mesh)
                 else:
                     builders = {
                         "llama": tpb.make_tp_llama_forward,

@@ -85,9 +85,16 @@ def _alibi_bias(cfg: BloomConfig, t: int) -> jnp.ndarray:
     return (slopes[:, None, None] * jnp.arange(t, dtype=jnp.float32)[None, None, :])[None]
 
 
-def _block(x, p, cfg: BloomConfig, mask, bias, cache):
+def _block(x, p, cfg: BloomConfig, mask, bias, cache, reduce=None):
+    """One BLOOM block.  ``reduce`` (optional) is the tensor-parallel seam
+    (see models.opt._row_tp): partial o/fc2 outputs are psummed over the
+    model axis with biases added once, and ``cfg`` carries SHARD-LOCAL
+    head counts; ``bias`` is then this shard's ALiBi head slice."""
+    from .opt import _row_tp
+
     b, s, h = x.shape
     hd = cfg.hd
+    h_out = cfg.num_heads * hd  # == h single-chip; h/d per TP shard
     residual = x
     x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"], cfg.layer_norm_eps)
     q = linear(x, p["q"]).reshape(b, s, cfg.num_heads, hd)
@@ -98,14 +105,14 @@ def _block(x, p, cfg: BloomConfig, mask, bias, cache):
 
         cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask, bias=bias)
-    x = residual + linear(attn.reshape(b, s, h), p["o"])
+    x = residual + _row_tp(attn.reshape(b, s, h_out), p["o"], reduce)
 
     residual = x
     x = layernorm(x, p["post_norm"]["w"], p["post_norm"]["b"], cfg.layer_norm_eps)
     x = jax.nn.gelu(linear(x, p["fc1"]).astype(jnp.float32), approximate=True).astype(
         residual.dtype
     )
-    x = residual + linear(x, p["fc2"])
+    x = residual + _row_tp(x, p["fc2"], reduce)
     return x, cache
 
 

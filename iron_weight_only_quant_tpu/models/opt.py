@@ -95,9 +95,37 @@ def opt_init(cfg: OPTConfig, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any
     }
 
 
-def _block(x, p, cfg: OPTConfig, mask, cache):
+def _row_tp(x, lin, reduce):
+    """Row-parallel linear under a TP reduce: matmul WITHOUT the bias,
+    reduce (psum over the model axis), then add the bias once -- adding it
+    per shard before the psum would count it d times.  ``reduce=None`` is
+    the plain single-chip path.  Accepts a param dict or a StackedLinear
+    view (scan bodies)."""
+    from .common import StackedLinear
+
+    if reduce is None:
+        return linear(x, lin)
+    if isinstance(lin, StackedLinear):
+        b = lin.p.get("b")
+        bias = None if b is None else b[lin.idx]
+        part = linear(x, StackedLinear({**lin.p, "b": None}, lin.idx))
+    else:
+        bias = lin.get("b")
+        part = linear(x, {**lin, "b": None})
+    out = reduce(part)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _block(x, p, cfg: OPTConfig, mask, cache, reduce=None):
+    """One OPT block.  ``reduce`` (optional) is the tensor-parallel seam:
+    under shard_map each shard computes partial o/fc2 outputs and
+    ``reduce`` is the psum over the model axis (``cfg`` then carries
+    SHARD-LOCAL head counts; biases are added once, after the reduce)."""
     b, s, h = x.shape
     hd = cfg.hd
+    h_out = cfg.num_heads * hd  # == h single-chip; h/d per TP shard
     residual = x
     if cfg.do_layer_norm_before:
         x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"], cfg.layer_norm_eps)
@@ -109,7 +137,7 @@ def _block(x, p, cfg: OPTConfig, mask, cache):
 
         cache, k, v = update_and_fetch(cache, k, v)
     attn = attend(q, k, v, mask)
-    x = residual + linear(attn.reshape(b, s, h), p["o"])
+    x = residual + _row_tp(attn.reshape(b, s, h_out), p["o"], reduce)
     if not cfg.do_layer_norm_before:
         x = layernorm(x, p["attn_norm"]["w"], p["attn_norm"]["b"], cfg.layer_norm_eps)
 
@@ -117,7 +145,7 @@ def _block(x, p, cfg: OPTConfig, mask, cache):
     if cfg.do_layer_norm_before:
         x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"], cfg.layer_norm_eps)
     x = jax.nn.relu(linear(x, p["fc1"]))
-    x = residual + linear(x, p["fc2"])
+    x = residual + _row_tp(x, p["fc2"], reduce)
     if not cfg.do_layer_norm_before:
         x = layernorm(x, p["final_norm"]["w"], p["final_norm"]["b"], cfg.layer_norm_eps)
     return x, cache

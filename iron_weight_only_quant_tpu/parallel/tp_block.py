@@ -183,18 +183,22 @@ def fuse_projections_tp(params: Dict[str, Any], d: int,
                        for p in params["layers"]]}
 
 
-def tp_prepare_llama_layer(p: Dict[str, Any], d: int, fuse: bool = True,
-                           pad_to: int = 128) -> Dict[str, Any]:
-    """Per-layer TP transform: repack row-parallel (o/down) artifacts to
-    ``k_shards=d`` and (optionally) build shard-blocked fused projections.
+def tp_prepare_layer(p: Dict[str, Any], d: int, fuse: bool = True,
+                     pad_to: int = 128,
+                     family: str = "llama") -> Dict[str, Any]:
+    """Per-layer TP transform: repack row-parallel artifacts to
+    ``k_shards=d`` and (llama only) build shard-blocked fused projections.
+    Column-parallel OPT/BLOOM projections carry biases, which the
+    shard-blocked fusion rejects -- they shard unfused.
 
     Usable layer-by-layer so memory-bounded builders can quantize + prepare
     + stack one layer at a time (peak HBM = stacked model + one layer,
     the 70B-slice constraint in bench.build_quantized_llama)."""
     from ..quantize.qtensor import repack_k_shards
 
+    _, row_keys = _FAMILY_LINEARS[family]
     p = dict(p)
-    for key in ("o", "down"):
+    for key in row_keys:
         lin = p.get(key)
         if isinstance(lin, dict) and isinstance(lin.get("w"), QuantizedTensor):
             w = lin["w"]
@@ -208,21 +212,26 @@ def tp_prepare_llama_layer(p: Dict[str, Any], d: int, fuse: bool = True,
                     "smaller group or mesh for toy shapes"
                 )
             p[key] = {**lin, "w": repack_k_shards(w, d)}
-    if fuse:
+    if fuse and family == "llama":
         p = _fuse_tp_layer(p, d, pad_to)
     return p
 
 
-def prepare_tp_stacked_llama(params: Dict[str, Any], d: int,
-                             fuse: bool = True,
-                             pad_to: int = 128) -> Dict[str, Any]:
-    """Flat llama params -> TP-prepared STACKED params for the scan path.
+def tp_prepare_llama_layer(p, d, fuse=True, pad_to=128):
+    return tp_prepare_layer(p, d, fuse, pad_to, "llama")
 
-    The composition the 70B serving configuration needs (VERDICT r4 item 1):
-    row-parallel artifacts repacked per shard, column-parallel projections
-    fused shard-blocked, then everything stacked to ``[L, ...]`` arrays that
-    :func:`make_tp_llama_forward_stacked` shards over the model axis and
-    scans with scalar-prefetch kernels per shard.  Row-parallel side info is
+
+def prepare_tp_stacked(params: Dict[str, Any], d: int, fuse: bool = True,
+                       pad_to: int = 128,
+                       family: str = "llama") -> Dict[str, Any]:
+    """Flat params -> TP-prepared STACKED params for the scan path.
+
+    The composition deep-model serving needs (llama-70B at 80 layers,
+    OPT-175B-class at 96): row-parallel artifacts repacked per shard,
+    column-parallel projections fused shard-blocked (llama), then
+    everything stacked to ``[L, ...]`` arrays that the
+    ``make_tp_*_forward_stacked`` builders shard over the model axis and
+    scan with scalar-prefetch kernels per shard.  Row-parallel side info is
     padded PER K-SEGMENT to a sublane multiple (models.common.
     pad_stacked_sides), so only shard-local views (which see standard
     end-of-rows ``side_pad``) ever interpret it -- do not feed the prepared
@@ -230,11 +239,15 @@ def prepare_tp_stacked_llama(params: Dict[str, Any], d: int,
     """
     from ..models.common import stack_model_layers
 
-    layers = [tp_prepare_llama_layer(p, d, fuse, pad_to)
+    layers = [tp_prepare_layer(p, d, fuse, pad_to, family)
               for p in params["layers"]]
     flat = {**{k: v for k, v in params.items() if k != "layers"},
             "layers": layers}
     return stack_model_layers(flat, consume=True, tp_segments=True)
+
+
+def prepare_tp_stacked_llama(params, d, fuse=True, pad_to=128):
+    return prepare_tp_stacked(params, d, fuse, pad_to, "llama")
 
 
 def validate_tp_stacked(params: Dict[str, Any], d: int,
@@ -705,6 +718,235 @@ def make_tp_llama_forward_stacked(cfg, mesh: Mesh, axis: str = "model"):
             return logits_part, new_caches
 
         return run(params, tokens, caches, cos, sin, mask)
+
+    return forward
+
+
+def _stacked_layer_specs(stacked: Dict[str, Any], row_keys) -> Dict[str, Any]:
+    """Spec tree for one layer-stacked param dict (shard_map in_specs).
+
+    A LINEAR's stacked weight is a QuantizedTensor or a 3-D ``[L, K, N]``
+    dense array; 2-D ``{"w", "b"}`` dicts are stacked NORMS (OPT/BLOOM
+    layernorm params) and replicate."""
+    def is_linear(v):
+        if isinstance(v, FusedLinear):
+            return True
+        if isinstance(v, dict) and "w" in v:
+            w = v["w"]
+            return isinstance(w, QuantizedTensor) or getattr(w, "ndim", 0) == 3
+        return False
+
+    sp = {}
+    for key, v in stacked.items():
+        if is_linear(v):
+            sp[key] = _linear_specs(v, row=key in row_keys, stacked=True)
+        elif v is None:
+            sp[key] = None
+        elif isinstance(v, dict):
+            sp[key] = _rep_spec(v)
+        else:
+            sp[key] = P()
+    return sp
+
+
+def make_tp_opt_forward_stacked(cfg, mesh: Mesh, axis: str = "model"):
+    """TP x scan for OPT: one shard_map whose body is the scan-over-layers
+    forward on shard-local stacked params (the OPT-175B-class composition;
+    the reference's deepest driver is gptq/opt.py and its 96-layer scale
+    model could only be served layer-placed, gptq/opt.py:272-306).
+
+    Same contract as :func:`make_tp_llama_forward_stacked`
+    (``prepare_tp_stacked(family="opt")`` params: o/fc2 repacked
+    ``k_shards=d``, column-parallel q/k/v/fc1 unfused -- their biases
+    shard on N; row-parallel biases are added once after the psum,
+    models.opt._row_tp).  Tied lm_head: the embed is replicated, so every
+    shard computes the full-vocab logits (out_specs P()), exactly like the
+    flat OPT tp forward.
+    """
+    import dataclasses
+
+    from ..models.opt import POS_OFFSET
+    from ..models.opt import _block as opt_block
+
+    d = mesh.shape[axis]
+    if cfg.num_heads % d or cfg.ffn_dim % d:
+        raise ValueError(f"num_heads/ffn_dim must divide {axis}={d}")
+    # hd is DERIVED (hidden/num_heads): scale both so the per-shard head
+    # dim stays the true head dim
+    cfg_loc = dataclasses.replace(cfg, num_heads=cfg.num_heads // d,
+                                  hidden_size=cfg.hidden_size // d)
+    _, row_keys = _FAMILY_LINEARS["opt"]
+
+    def forward(params, tokens, cfg_arg=None, caches=None, positions=None,
+                attn_mask=None):
+        b, s = tokens.shape
+        if caches is None:
+            if positions is None:
+                positions = jnp.arange(s)
+            mask = causal_mask(s) if attn_mask is None else attn_mask
+        else:
+            start = caches.length[0]
+            if positions is None:
+                positions = start + jnp.arange(s)
+            if attn_mask is None:
+                t_max = (caches.k.shape[2] if hasattr(caches, "k")
+                         else caches.k_codes.shape[2])
+                cols = jnp.arange(t_max)[None, :]
+                qpos = positions if positions.ndim == 1 else positions[0]
+                mask = (cols <= qpos[:, None])[None, None]
+            else:
+                mask = attn_mask
+
+        stacked = params["layers_stacked"]
+        param_specs_tree = {
+            "embed": P(), "embed_pos": P(),
+            "layers_stacked": _stacked_layer_specs(stacked, row_keys),
+        }
+        if "final_norm" in params:
+            param_specs_tree["final_norm"] = _rep_spec(params["final_norm"])
+        cache_spec = (None if caches is None
+                      else _cache_view_spec(caches, axis, stacked=True))
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+
+        @partial(
+            shard_map, mesh=mesh, **_SMAP_KW,
+            in_specs=(param_specs_tree, P(), cache_spec, P(), P()),
+            out_specs=(P(), cache_spec),
+        )
+        def run(params, tokens, caches, positions, mask):
+            from ..engine.kvcache import StackedCacheAt
+            from ..models.common import stacked_layer_view
+
+            local = _local_stacked(params["layers_stacked"], d, row_keys)
+            psum = lambda t: jax.lax.psum(t, axis)  # noqa: E731
+            x = params["embed"][tokens] + params["embed_pos"][
+                positions + POS_OFFSET]
+
+            if caches is None:
+                def body(x, l):
+                    x, _ = opt_block(x, stacked_layer_view(local, l),
+                                     cfg_loc, mask, None, reduce=psum)
+                    return x, None
+
+                x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
+                new_caches = None
+            else:
+                def body(carry, l):
+                    x, c = carry
+                    x, cat = opt_block(x, stacked_layer_view(local, l),
+                                       cfg_loc, mask, StackedCacheAt(c, l),
+                                       reduce=psum)
+                    return (x, cat.caches), None
+
+                (x, new_caches), _ = jax.lax.scan(
+                    body, (x, caches), jnp.arange(n_layers))
+
+            from ..models.common import layernorm
+
+            if cfg.do_layer_norm_before and "final_norm" in params:
+                x = layernorm(x, params["final_norm"]["w"],
+                              params["final_norm"]["b"], cfg.layer_norm_eps)
+            logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+            return logits, new_caches
+
+        return run(params, tokens, caches, positions, mask)
+
+    return forward
+
+
+def make_tp_bloom_forward_stacked(cfg, mesh: Mesh, axis: str = "model"):
+    """TP x scan for BLOOM: ALiBi slopes sliced per head shard inside the
+    shard_map body; otherwise the OPT-stacked contract
+    (``prepare_tp_stacked(family="bloom")``)."""
+    import dataclasses
+
+    from ..models.bloom import _block as bloom_block
+    from ..models.common import alibi_slopes, layernorm
+
+    d = mesh.shape[axis]
+    # BLOOM's FFN is 4*hidden: divisibility follows from hidden % d
+    if cfg.num_heads % d or cfg.hidden_size % d:
+        raise ValueError(f"num_heads/hidden_size must divide {axis}={d}")
+    h_loc = cfg.num_heads // d
+    cfg_loc = dataclasses.replace(cfg, num_heads=h_loc,
+                                  hidden_size=cfg.hidden_size // d)
+    slopes_full = alibi_slopes(cfg.num_heads)
+    _, row_keys = _FAMILY_LINEARS["bloom"]
+
+    def forward(params, tokens, cfg_arg=None, caches=None, positions=None,
+                attn_mask=None):
+        b, s = tokens.shape
+        if caches is None:
+            mask = causal_mask(s) if attn_mask is None else attn_mask
+            t = s
+        else:
+            start = caches.length[0]
+            t = (caches.k.shape[2] if hasattr(caches, "k")
+                 else caches.k_codes.shape[2])
+            if attn_mask is None:
+                qpos = (start + jnp.arange(s)) if positions is None \
+                    else (positions if positions.ndim == 1 else positions[0])
+                mask = (jnp.arange(t)[None, :] <= qpos[:, None])[None, None]
+            else:
+                mask = attn_mask
+
+        stacked = params["layers_stacked"]
+        param_specs_tree = {
+            "embed": P(), "embed_norm": _rep_spec(params["embed_norm"]),
+            "layers_stacked": _stacked_layer_specs(stacked, row_keys),
+            "final_norm": _rep_spec(params["final_norm"]),
+        }
+        cache_spec = (None if caches is None
+                      else _cache_view_spec(caches, axis, stacked=True))
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+
+        @partial(
+            shard_map, mesh=mesh, **_SMAP_KW,
+            in_specs=(param_specs_tree, P(), cache_spec, P()),
+            out_specs=(P(), cache_spec),
+        )
+        def run(params, tokens, caches, mask):
+            from ..engine.kvcache import StackedCacheAt
+            from ..models.common import stacked_layer_view
+
+            local = _local_stacked(params["layers_stacked"], d, row_keys)
+            psum = lambda tt: jax.lax.psum(tt, axis)  # noqa: E731
+            shard = jax.lax.axis_index(axis)
+            slopes_loc = jax.lax.dynamic_slice(slopes_full, (shard * h_loc,),
+                                               (h_loc,))
+            bias = (slopes_loc[:, None, None]
+                    * jnp.arange(t, dtype=jnp.float32)[None, None, :])[None]
+
+            x = params["embed"][tokens]
+            x = layernorm(x, params["embed_norm"]["w"],
+                          params["embed_norm"]["b"], cfg.layer_norm_eps)
+
+            if caches is None:
+                def body(x, l):
+                    x, _ = bloom_block(x, stacked_layer_view(local, l),
+                                       cfg_loc, mask, bias, None,
+                                       reduce=psum)
+                    return x, None
+
+                x, _ = jax.lax.scan(body, x, jnp.arange(n_layers))
+                new_caches = None
+            else:
+                def body(carry, l):
+                    x, c = carry
+                    x, cat = bloom_block(x, stacked_layer_view(local, l),
+                                         cfg_loc, mask, bias,
+                                         StackedCacheAt(c, l), reduce=psum)
+                    return (x, cat.caches), None
+
+                (x, new_caches), _ = jax.lax.scan(
+                    body, (x, caches), jnp.arange(n_layers))
+
+            x = layernorm(x, params["final_norm"]["w"],
+                          params["final_norm"]["b"], cfg.layer_norm_eps)
+            logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+            return logits, new_caches
+
+        return run(params, tokens, caches, mask)
 
     return forward
 

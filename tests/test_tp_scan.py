@@ -271,3 +271,100 @@ def test_gqa_depth_stacked_tp(cpu_devices):
     a = eng_tp.serve(reqs, max_new_tokens=3, chunk=2)
     b = eng_ref.serve(reqs, max_new_tokens=3, chunk=2)
     assert a == b
+
+
+class TestOptBloomTpScan:
+    """TP x scan for OPT and BLOOM (round 5): the OPT-175B-class depth
+    composition -- biased column-parallel projections shard on N, biased
+    row-parallel projections add the bias once after the psum."""
+
+    def _quantized_opt(self, d, bits=8):
+        from iron_weight_only_quant_tpu.models.opt import OPTConfig, opt_init
+        from iron_weight_only_quant_tpu.quantize.model_pass import (
+            quantize_model_params,
+        )
+
+        cfg = OPTConfig.tiny()
+        params = opt_init(cfg, jax.random.PRNGKey(11))
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=bits, group_size=32,
+                              symmetric=False))
+        return cfg, qp
+
+    def test_opt_forward_matches(self, cpu_devices):
+        from iron_weight_only_quant_tpu.models.opt import (
+            opt_forward_scan,
+            stack_opt_layers,
+        )
+        from iron_weight_only_quant_tpu.parallel.tp_block import (
+            make_tp_opt_forward_stacked,
+            prepare_tp_stacked,
+        )
+
+        d = 2
+        cfg, qp = self._quantized_opt(d)
+        mesh = make_mesh(MeshConfig(data=1, model=d))
+        tp_fwd = make_tp_opt_forward_stacked(cfg, mesh)
+        tp_params = prepare_tp_stacked(qp, d, family="opt")
+        ref = stack_opt_layers(qp)
+        rng = np.random.default_rng(8)
+        toks = jnp.asarray(rng.integers(0, 250, size=(2, 9)), jnp.int32)
+        a, _ = tp_fwd(tp_params, toks)
+        b, _ = opt_forward_scan(ref, toks, cfg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_opt_engine_serve_matches(self, cpu_devices):
+        from iron_weight_only_quant_tpu.models.opt import (
+            opt_forward_scan,
+            stack_opt_layers,
+        )
+
+        d = 2
+        cfg, qp = self._quantized_opt(d)
+        kv = KVCacheConfig(max_seq_len=48, kv_bits=8, kv_group_size=16)
+        eng_tp = InferenceEngine(
+            qp, cfg, opt_forward_scan, family="opt",
+            engine_cfg=EngineConfig(kv=kv, mesh=MeshConfig(data=1, model=d),
+                                    max_batch_size=2),
+            tp_block=True)
+        assert "layers_stacked" in eng_tp.params
+        eng_ref = InferenceEngine(
+            stack_opt_layers(qp), cfg, opt_forward_scan,
+            engine_cfg=EngineConfig(kv=kv, max_batch_size=2))
+        reqs = [[1, 2, 3], [7, 5], [9, 9, 9, 9]]
+        a = eng_tp.serve(reqs, max_new_tokens=3, chunk=2)
+        b = eng_ref.serve(reqs, max_new_tokens=3, chunk=2)
+        assert a == b
+
+    def test_bloom_engine_serve_matches(self, cpu_devices):
+        from iron_weight_only_quant_tpu.models.bloom import (
+            BloomConfig,
+            bloom_forward_scan,
+            bloom_init,
+            stack_bloom_layers,
+        )
+        from iron_weight_only_quant_tpu.quantize.model_pass import (
+            quantize_model_params,
+        )
+
+        d = 2
+        cfg = BloomConfig.tiny()
+        params = bloom_init(cfg, jax.random.PRNGKey(12))
+        qp, _ = quantize_model_params(
+            params, QuantSpec(fmt="int", bits=8, group_size=32,
+                              symmetric=False))
+        kv = KVCacheConfig(max_seq_len=48)
+        eng_tp = InferenceEngine(
+            qp, cfg, bloom_forward_scan, family="bloom",
+            engine_cfg=EngineConfig(kv=kv, mesh=MeshConfig(data=1, model=d),
+                                    max_batch_size=2),
+            tp_block=True)
+        assert "layers_stacked" in eng_tp.params
+        eng_ref = InferenceEngine(
+            stack_bloom_layers(qp), cfg, bloom_forward_scan,
+            engine_cfg=EngineConfig(kv=kv, max_batch_size=2))
+        reqs = [[1, 2, 3], [7, 5, 6], [9, 9]]
+        a = eng_tp.serve(reqs, max_new_tokens=3, chunk=2)
+        b = eng_ref.serve(reqs, max_new_tokens=3, chunk=2)
+        assert a == b
